@@ -1,0 +1,44 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.expr.ValidateSpans
+import graft.rules.RuleSet
+
+/** The per-row validation pass: docs(doc_id, spans) -> + violations + passed.
+  *
+  * Shuffle-free by construction — one projection over the scan, fused by
+  * whole-stage codegen; the only columns read are doc_id and spans (nested
+  * pruning keeps media-only stages narrower still). Scale shape: at 10^12
+  * docs this is embarrassingly parallel, no exchange anywhere.
+  *
+  * The spans hot path never explodes (north-star invariant); the one
+  * violation-per-row fan-out happens only on the violations sink path, after
+  * filtering to failing docs (rare by construction).
+  */
+object RowValidator {
+
+  /** docs + violations:array<struct> + passed:boolean (one row per doc).
+    * Span-struct field ordinals are resolved inside the expression (no
+    * codegen-fallback `transform` canonicalization in the hot path).
+    */
+  def withViolations(docs: DataFrame, rules: RuleSet = RuleSet.default): DataFrame =
+    docs
+      .withColumn("violations", ValidateSpans(col("spans"), rules))
+      .withColumn("passed", size(col("violations")) === 0)
+
+  /** Per-doc verdicts only: (doc_id, passed, n_violations). */
+  def verdicts(docs: DataFrame, rules: RuleSet = RuleSet.default): DataFrame =
+    withViolations(docs, rules)
+      .select(col("doc_id"), col("passed"), size(col("violations")).as("n_violations"))
+
+  /** Violation rows for the sink: one row per violation, failing docs only.
+    * (The fan-out is forced here: the sink's unit IS the violation.)
+    */
+  def violations(docs: DataFrame, rules: RuleSet = RuleSet.default): DataFrame =
+    withViolations(docs, rules)
+      .where(not(col("passed")))
+      .select(col("doc_id"), explode(col("violations")).as("v"))
+      .select(col("doc_id"), col("v.*"))
+}
