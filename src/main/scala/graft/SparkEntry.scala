@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.checks.RowValidator
+import graft.agg.StatsAgg
+import graft.checks.{Drift, Referential, RowValidator, Uniqueness}
 import graft.gen.{Fixtures, Synth}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -56,6 +57,55 @@ object SparkEntry {
           count(when($"passed", 1)).as("n_passed"),
           count(when(!$"passed", 1)).as("n_failed"),
           count(lit(1)).as("n_docs"))
+    }),
+    // exact uniqueness with two-phase salted aggregation (north-star op)
+    "unique_dup_orderkeys" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      Uniqueness.dupStats(li, col("l_orderkey"))
+    }),
+    // broadcast-hash referential checks (anti-join = dangling refs)
+    "referential_dangling" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val part = s.read.parquet(s"$dir/part.parquet")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val a = Referential.dangling(li, col("l_partkey"), part, col("p_partkey"))
+        .agg(count(lit(1)).as("n")).withColumn("check", lit("lineitem_part"))
+      val b = Referential.dangling(ev, col("user_id"), cust, col("c_custkey"))
+        .agg(count(lit(1)).as("n")).withColumn("check", lit("events_customer"))
+      // reversed direction has real "dangling" rows: parts never ordered
+      val c = Referential.dangling(part, col("p_partkey"), li, col("l_partkey"))
+        .agg(count(lit(1)).as("n")).withColumn("check", lit("unreferenced_parts"))
+      a.unionByName(b).unionByName(c).select(col("check"), col("n"))
+    }),
+    // single-pass typed column stats (custom TypedImperativeAggregate)
+    "col_stats_documents" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def one(cn: String) = docs
+        .agg(StatsAgg.columnStats(col(cn)).as("st"))
+        .select(lit(cn).as("col_name"), col("st.n_rows"), col("st.n_nulls"),
+          col("st.min_s"), col("st.max_s"))
+      one("text").unionByName(one("lang")).unionByName(one("source"))
+    }),
+    // length histogram from the same aggregator (fan-out only at the tiny end)
+    "length_hist_documents" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.agg(StatsAgg.columnStats(col("text")).as("st"))
+        .select(explode(col("st.len_hist")).as(Seq("bucket", "cnt")))
+    }),
+    // PSI drift between two event populations (even vs odd event_id)
+    "drift_psi_events" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      Drift.psi(ev.where(col("event_id") % 2 === 0), ev.where(col("event_id") % 2 === 1),
+        col("event_type"))
+        .select(round(col("psi"), 6).as("psi"))
+    }),
+    // bucketed-CDF KS drift over the value column
+    "drift_ks_events" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      Drift.ksBucketed(ev.where(col("event_id") % 2 === 0), ev.where(col("event_id") % 2 === 1),
+        col("value"), lo = 0.0, hi = 500.0, buckets = 100)
+        .select(round(col("ks"), 6).as("ks"))
     }))
 
   /** DuckDB-equivalent SQL per query (same column names — the driver's
@@ -82,6 +132,52 @@ object SparkEntry {
         UNION ALL SELECT 'string_pattern_mismatch', count(*) FROM documents WHERE doc_id % 9 = 8
       """.trim,
       "marc_corpus_passed" -> ("SELECT count(*) FILTER (WHERE doc_id % 9 = 0) AS n_passed, "
-        + "count(*) FILTER (WHERE doc_id % 9 <> 0) AS n_failed, count(*) AS n_docs FROM documents"))
+        + "count(*) FILTER (WHERE doc_id % 9 <> 0) AS n_failed, count(*) AS n_docs FROM documents"),
+      "unique_dup_orderkeys" -> """
+        SELECT count(*)::BIGINT AS n_dup_keys, coalesce(sum(n - 1), 0)::BIGINT AS n_surplus_rows
+        FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1)
+      """.trim,
+      "referential_dangling" -> """
+        SELECT 'lineitem_part' AS check, count(*) FILTER (WHERE p.p_partkey IS NULL)::BIGINT AS n
+        FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        UNION ALL
+        SELECT 'events_customer', count(*) FILTER (WHERE c.c_custkey IS NULL)::BIGINT
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        UNION ALL
+        SELECT 'unreferenced_parts', count(*)::BIGINT
+        FROM part p WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+      """.trim,
+      "col_stats_documents" -> """
+        SELECT 'text' AS col_name, count(*)::BIGINT AS n_rows,
+               (count(*) - count(text))::BIGINT AS n_nulls, min(text) AS min_s, max(text) AS max_s
+        FROM documents
+        UNION ALL SELECT 'lang', count(*)::BIGINT, (count(*) - count(lang))::BIGINT, min(lang), max(lang) FROM documents
+        UNION ALL SELECT 'source', count(*)::BIGINT, (count(*) - count(source))::BIGINT, min(source), max(source) FROM documents
+      """.trim,
+      "length_hist_documents" -> """
+        SELECT least(length(text) // 100, 63)::INT AS bucket, count(*)::BIGINT AS cnt
+        FROM documents WHERE text IS NOT NULL GROUP BY 1
+      """.trim,
+      "drift_psi_events" -> """
+        WITH cur AS (SELECT event_type AS cat, count(*) AS n_cur FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+             base AS (SELECT event_type AS cat, count(*) AS n_base FROM events WHERE event_id % 2 = 1 GROUP BY 1),
+             j AS (SELECT coalesce(n_cur, 0) AS n_cur, coalesce(n_base, 0) AS n_base
+                   FROM cur FULL OUTER JOIN base USING (cat)),
+             pq AS (SELECT greatest(n_cur / (SELECT sum(n_cur) FROM j), 1e-6) AS p,
+                           greatest(n_base / (SELECT sum(n_base) FROM j), 1e-6) AS q FROM j)
+        SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM pq
+      """.trim,
+      "drift_ks_events" -> """
+        WITH h AS (
+          SELECT least(greatest(floor(value / 5.0), 0), 99)::BIGINT AS bucket,
+                 count(*) FILTER (WHERE event_id % 2 = 0) AS n_cur,
+                 count(*) FILTER (WHERE event_id % 2 = 1) AS n_base
+          FROM events WHERE value IS NOT NULL GROUP BY 1),
+             c AS (
+          SELECT sum(n_cur) OVER (ORDER BY bucket) / (SELECT sum(n_cur) FROM h) AS cdf_cur,
+                 sum(n_base) OVER (ORDER BY bucket) / (SELECT sum(n_base) FROM h) AS cdf_base
+          FROM h)
+        SELECT round(max(abs(cdf_cur - cdf_base)), 6) AS ks FROM c
+      """.trim)
   }
 }

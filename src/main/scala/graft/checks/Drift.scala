@@ -1,0 +1,69 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift statistics against a baseline snapshot (north-star:
+  * "KS/PSI distribution-drift tests on span-offset and kind-frequency
+  * histograms"). Both reduce to small-cardinality aggregations (≤ a few
+  * hundred rows after groupBy), so the heavy work is one distributed
+  * aggregate per side; the final statistic is computed with a tiny
+  * full-outer join + reduce — no driver-side math on big data.
+  */
+object Drift {
+
+  private val Epsilon = 1e-6 // PSI guard for empty cells (standard practice)
+
+  /** Population Stability Index between two categorical distributions:
+    * PSI = Σ (p−q) · ln(p/q) over category frequencies. Returns one row
+    * (psi: double).
+    */
+  def psi(current: DataFrame, baseline: DataFrame, category: Column): DataFrame = {
+    val cur = current.groupBy(category.as("cat")).agg(count(lit(1)).as("n_cur"))
+    val base = baseline.groupBy(category.as("cat")).agg(count(lit(1)).as("n_base"))
+    cur.join(base, Seq("cat"), "full_outer")
+      .na.fill(0L, Seq("n_cur", "n_base"))
+      .select(
+        (col("n_cur") / sum(col("n_cur")).over()).as("p"),
+        (col("n_base") / sum(col("n_base")).over()).as("q"))
+      .select(greatest(col("p"), lit(Epsilon)).as("p"),
+        greatest(col("q"), lit(Epsilon)).as("q"))
+      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
+  }
+
+  /** Kolmogorov–Smirnov statistic between two numeric distributions via a
+    * fixed bucketing: KS = max |CDF_cur − CDF_base| over bucket edges.
+    * Exact for discrete/bucketed data; an upper-bounded approximation
+    * (±1/buckets) for continuous data — the scale-path tradeoff chosen by
+    * SURVEY.md §2 Part B (aggregate histograms, never sort 10^12 rows).
+    */
+  def ksBucketed(current: DataFrame, baseline: DataFrame, value: Column,
+      lo: Double, hi: Double, buckets: Int = 256): DataFrame = {
+    def hist(df: DataFrame, cName: String): DataFrame = {
+      val b = least(greatest(
+        floor((value - lit(lo)) / lit((hi - lo) / buckets)), lit(0L)),
+        lit(buckets.toLong - 1)).as("bucket")
+      df.where(value.isNotNull).groupBy(b).agg(count(lit(1)).as(cName))
+    }
+    val joined = hist(current, "n_cur").join(hist(baseline, "n_base"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_cur", "n_base"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    joined
+      .select(
+        (sum(col("n_cur")).over(w) / sum(col("n_cur")).over()).as("cdf_cur"),
+        (sum(col("n_base")).over(w) / sum(col("n_base")).over()).as("cdf_base"))
+      .agg(max(abs(col("cdf_cur") - col("cdf_base"))).as("ks"))
+  }
+
+  /** Kind-frequency drift of a docs table vs a baseline snapshot table with
+    * (kind, freq) rows — the span kinds are counted intra-row first
+    * (aggregate over the array), so the only shuffle is the tiny kind
+    * aggregation.
+    */
+  def kindFrequencies(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(col("spans.kind")).as("kind"))
+      .groupBy(col("kind")).agg(count(lit(1)).as("freq"))
+}

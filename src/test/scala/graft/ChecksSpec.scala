@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.agg.StatsAgg
+import graft.checks.{Drift, Referential, Uniqueness}
+
+/** Stats aggregator, uniqueness (incl. adversarial skew), referential, drift. */
+class ChecksSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  import spark.implicits._
+
+  test("StatsAgg computes counts, nulls, min/max, and length histogram in one pass") {
+    val df = Seq(Some("a"), Some("bb" * 60), None, Some("ccc"), None).toDF("s")
+    val row = df.agg(StatsAgg.columnStats($"s").as("st")).select("st.*").collect().head
+    assert(row.getAs[Long]("n_rows") == 5)
+    assert(row.getAs[Long]("n_nulls") == 2)
+    assert(row.getAs[String]("min_s") == "a")
+    assert(row.getAs[String]("max_s") == "ccc")
+    val hist = row.getAs[Map[Int, Long]]("len_hist")
+    assert(hist == Map(0 -> 2L, 1 -> 1L)) // "a","ccc" in [0,100); 120 chars in [100,200)
+  }
+
+  test("StatsAgg merges across partitions (values equal to single-partition run)") {
+    val df = spark.range(0, 10000, 1, 8)
+      .select(when($"id" % 7 === 0, lit(null)).otherwise(concat(lit("v"), $"id")).as("s"))
+    val a = df.agg(StatsAgg.columnStats($"s")).collect().head.toString
+    val b = df.coalesce(1).agg(StatsAgg.columnStats($"s")).collect().head.toString
+    assert(a == b)
+  }
+
+  test("uniqueness finds duplicated keys and survives an adversarial hot key") {
+    // one key with 100k rows across partitions + 10 normal dup keys + uniques
+    val hot = spark.range(0, 100000, 1, 16).select(lit("HOT").as("k"))
+    val dups = spark.range(10).select(concat(lit("d"), $"id").as("k"))
+    val data = hot
+      .unionAll(dups).unionAll(dups)
+      .unionAll(spark.range(1000).select(concat(lit("u"), $"id").as("k")))
+    val dk = Uniqueness.dupKeys(data, col("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dk("HOT") == 100000L)
+    assert(dk.size == 11 && dk("d3") == 2L)
+    val st = Uniqueness.dupStats(data, col("k")).collect().head
+    assert(st.getAs[Long]("n_dup_keys") == 11)
+    assert(st.getAs[Long]("n_surplus_rows") == (100000 - 1) + 10)
+    // the salt phase bounds final-exchange rows per key by #input partitions
+    val partial = data.groupBy(col("k"), spark_partition_id()).count()
+    assert(partial.where(col("k") === "HOT").count() <= 18)
+  }
+
+  test("dupStats on all-unique keys returns zeros (not an empty frame)") {
+    val st = Uniqueness.dupStats(spark.range(100).toDF("k"), col("k")).collect().head
+    assert(st.getLong(0) == 0 && st.getLong(1) == 0)
+  }
+
+  test("referential: dangling media refs vs broadcast asset catalog") {
+    import graft.gen.Synth
+    val docs = Synth.corpusDF(spark, 50) // media_ref = asset-(id%1024)
+    val catalog = spark.range(40).select(concat(lit("asset-"), $"id").as("asset_id"))
+    val dangling = Referential.danglingMediaRefs(docs, catalog, col("asset_id"))
+    // ids 40..49 have media_ref asset-40..asset-49, absent from the catalog
+    assert(dangling.count() == 10)
+    val plan = dangling.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"not broadcast:\n$plan")
+  }
+
+  test("PSI is ~0 for identical distributions and large for shifted ones") {
+    val a = spark.range(1000).select(($"id" % 5).cast("string").as("c"))
+    val b = spark.range(1000).select(($"id" % 5).cast("string").as("c"))
+    val same = Drift.psi(a, b, col("c")).collect().head.getDouble(0)
+    assert(math.abs(same) < 1e-9)
+    val shifted = spark.range(1000).select(
+      when($"id" % 5 === 0, lit("0")).otherwise(lit("1")).as("c"))
+    val drifted = Drift.psi(a, shifted, col("c")).collect().head.getDouble(0)
+    assert(drifted > 0.5)
+  }
+
+  test("bucketed KS is 0 for identical and ~shift/range for a uniform shift") {
+    val a = spark.range(10000).select(($"id" % 100).cast("double").as("v"))
+    val b = spark.range(10000).select((($"id" % 100) + 20).cast("double").as("v"))
+    val same = Drift.ksBucketed(a, a, col("v"), 0, 200, 200).collect().head.getDouble(0)
+    assert(same == 0.0)
+    val ks = Drift.ksBucketed(a, b, col("v"), 0, 200, 200).collect().head.getDouble(0)
+    assert(math.abs(ks - 0.2) < 0.01)
+  }
+
+  test("kind frequencies over the synthetic corpus") {
+    import graft.gen.Synth
+    val kf = Drift.kindFrequencies(Synth.corpusDF(spark, 90)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kf("LDR") == 90)
+    assert(kf("media") == 90)
+    assert(kf("008") == 90)
+    assert(kf("001") == 90 + 10) // class-1 docs carry a duplicate 001
+  }
+}
