@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.agg.StatsAgg
 import graft.checks.{Drift, Referential, RowValidator, Uniqueness}
 import graft.gen.{Fixtures, Synth}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -106,6 +107,75 @@ object SparkEntry {
       Drift.ksBucketed(ev.where(col("event_id") % 2 === 0), ev.where(col("event_id") % 2 === 1),
         col("value"), lo = 0.0, hi = 500.0, buckets = 100)
         .select(round(col("ks"), 6).as("ks"))
+    }),
+    // exact dedup over a corpus with injected duplicates (every 10th doc)
+    "dedup_exact_docs" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val withDups = docs.unionByName(docs.where(col("doc_id") % 10 === 0))
+      Dedup.exactDupGroups(withDups, col("text"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_rows_in_groups"))
+    }),
+    // minhash+LSH near-dup pairs, exact-verified at jaccard >= 0.8; the
+    // oracle recomputes exact 3-gram jaccard pairs in SQL
+    "dedup_near_pairs" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.minhashPairs(docs, col("doc_id"), col("text"), threshold = 0.8)
+        .select(col("a"), col("b"))
+    }),
+    // brute-force cosine top-10 to the vec_id=0 embedding (ANN baseline)
+    "ann_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      val top = Similarity.topKCosine(
+        emb.where(col("vec_id") =!= 0), col("vec_id"), col("embedding"), q, 10)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cosine").desc, col("id"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("id").as("vec_id"))
+    }),
+    // token counting (whitespace tokens per doc)
+    "text_token_counts" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    }),
+    // quality metrics + gate per doc (integer-only for oracle parity)
+    "text_quality" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"), TextAnalysis.qualityMetrics(col("text")).as("m"),
+          TextAnalysis.qualityPass(col("text")).as("quality_pass"))
+        .select(col("doc_id"), col("m.n_chars").cast("long").as("n_chars"),
+          col("m.n_punct").cast("long").as("n_punct"),
+          col("m.n_digits").cast("long").as("n_digits"),
+          col("m.n_stopwords").cast("long").as("n_stopwords"), col("quality_pass"))
+    }),
+    // language-id heuristic distribution (rows-only: the argmax tie-break is
+    // engine-defined; per-language behavior is unit-tested in OpsSpec)
+    "text_langid_dist" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+    }),
+    // simhash near-dup pairs (rows-only: hash family is engine-defined;
+    // recall/precision asserted in OpsSpec)
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 8)
+        .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+    }),
+    // winnowing fingerprint size per doc (rows-only: hash engine-defined)
+    "text_fingerprints" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+        size(TextAnalysis.fingerprint(col("text"))).cast("long").as("n_grams"))
+    }),
+    // tumbling-hour event counts (batch form of the streaming windowed agg)
+    "events_hourly" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      ev.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("hour_ts"), col("event_type"), col("n"))
     }))
 
   /** DuckDB-equivalent SQL per query (same column names — the driver's
@@ -178,6 +248,61 @@ object SparkEntry {
                  sum(n_base) OVER (ORDER BY bucket) / (SELECT sum(n_base) FROM h) AS cdf_base
           FROM h)
         SELECT round(max(abs(cdf_cur - cdf_base)), 6) AS ks FROM c
+      """.trim,
+      "dedup_exact_docs" -> """
+        SELECT count(*)::BIGINT AS n_groups, (2 * count(*))::BIGINT AS n_rows_in_groups
+        FROM documents WHERE doc_id % 10 = 0
+      """.trim,
+      "dedup_near_pairs" -> """
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+        ), shq AS (
+          SELECT doc_id,
+            list_distinct(CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+              ELSE [array_to_string(toks, ' ')] END) AS sh
+          FROM t
+        ), inv AS (
+          SELECT doc_id, unnest(sh) AS g FROM shq
+        ), cand AS (
+          SELECT l.doc_id AS a, r.doc_id AS b FROM inv l JOIN inv r USING (g)
+          WHERE l.doc_id < r.doc_id GROUP BY 1, 2
+        )
+        SELECT a, b FROM cand
+        JOIN shq sa ON sa.doc_id = cand.a
+        JOIN shq sb ON sb.doc_id = cand.b
+        WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+      """.trim,
+      "ann_topk" -> """
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+             scored AS (
+          SELECT vec_id, list_cosine_similarity(e.embedding, q.embedding) AS sim
+          FROM embeddings e, q WHERE vec_id <> 0)
+        SELECT row_number() OVER (ORDER BY sim DESC, vec_id) AS rank, vec_id
+        FROM scored ORDER BY sim DESC, vec_id LIMIT 10
+      """.trim,
+      "text_token_counts" ->
+        "SELECT doc_id, len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens FROM documents",
+      "text_quality" -> s"""
+        WITH m AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                 length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+                 length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+                 len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> list_contains(${TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")}, t))) AS n_stopwords
+          FROM documents)
+        SELECT doc_id, n_chars::BIGINT AS n_chars, n_punct::BIGINT AS n_punct,
+               n_digits::BIGINT AS n_digits, n_stopwords::BIGINT AS n_stopwords,
+               (n_tokens BETWEEN 5 AND 100000 AND n_punct * 4 <= n_chars
+                AND n_digits * 4 <= n_chars) AS quality_pass
+        FROM m
+      """.trim,
+      "events_hourly" -> """
+        SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
       """.trim)
   }
 }

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language identification, and document fingerprinting.
+  * All pure Column expressions (codegen'd; no UDFs), applied per row —
+  * embarrassingly parallel at any corpus size.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: word-piece regex (letters runs, digit runs,
+    * punctuation singles) — the usual cheap proxy for tokenizer load.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      t => length(t) > 0))
+
+  /** Quality metrics struct: n_chars, n_tokens, punct chars, digit chars,
+    * stopword hits, mean token length — inputs for a curation filter.
+    */
+  def qualityMetrics(text: Column): Column = {
+    val punct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    val digits = length(text) - length(regexp_replace(text, "[0-9]", ""))
+    val toks = Dedup.tokens(text)
+    val stop = size(filter(toks, t => t.isin(StopwordsEn.map(lit): _*)))
+    struct(
+      length(text).as("n_chars"),
+      tokenCount(text).as("n_tokens"),
+      punct.as("n_punct"),
+      digits.as("n_digits"),
+      stop.as("n_stopwords"),
+      (length(text).cast("double") / greatest(tokenCount(text), lit(1))).as("mean_token_len"))
+  }
+
+  /** Boolean quality gate with the standard cheap heuristics (Gopher-style
+    * thresholds, integer-only so it is oracle-checkable).
+    */
+  def qualityPass(text: Column): Column = {
+    val m = qualityMetrics(text)
+    m.getField("n_tokens").between(5, 100000) &&
+      m.getField("n_punct") * 4 <= m.getField("n_chars") &&
+      m.getField("n_digits") * 4 <= m.getField("n_chars")
+  }
+
+  val StopwordsEn: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "are", "was", "for", "on", "with", "that", "this", "it", "as")
+
+  /** Per-language marker words for the n-gram/stopword language heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "que", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "que", "pour", "avec", "sur"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "他"))
+
+  /** Language-ID heuristic: argmax over marker-word hit counts (ties and
+    * zero hits -> "und", ISO for undetermined). Pure columns: a greatest()
+    * over (score, lang) structs.
+    */
+  def langId(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    val scored = LangMarkers.map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Winnowing-style document fingerprint: k-gram rolling hashes, window
+    * minima, distinct — robust to small edits. Composed from higher-order
+    * functions; `size(array_intersect(fp_a, fp_b))` estimates overlap.
+    */
+  def fingerprint(text: Column, k: Int = 5, window: Int = 4): Column = {
+    val grams = Dedup.shingles(text, k)
+    val hashes = transform(grams, g => xxhash64(g))
+    val mins = when(size(hashes) >= window,
+      transform(sequence(lit(0), size(hashes) - window),
+        i => array_min(slice(hashes, i + 1, lit(window)))))
+      .otherwise(array(array_min(hashes)))
+    array_sort(array_distinct(mins))
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expr.SketchExprs._
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Dedup suite, ANN similarity, and text-analysis operators. */
+class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("exact dedup finds injected duplicate texts") {
+    val withDups = docs.unionByName(docs.where($"doc_id" % 10 === 0))
+    val groups = Dedup.exactDupGroups(withDups, $"text")
+    assert(groups.count() == 50) // 500 ids, every 10th duplicated once
+    assert(groups.agg(sum($"n")).collect().head.getLong(0) == 100)
+    assert(Dedup.exactDupGroups(docs, $"text").count() == 0)
+  }
+
+  test("minhash LSH finds injected near-duplicates and nothing else") {
+    val mutated = docs.where($"doc_id" % 20 === 0)
+      .select(($"doc_id" + 1000000).as("doc_id"), concat($"text", lit(" zz")).as("text"))
+    val corpus = docs.select($"doc_id", $"text").unionByName(mutated)
+    val pairs = Dedup.minhashPairs(corpus, $"doc_id", $"text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the documents table carries natural near-dup clusters by construction,
+    // so the injected pairs must be a subset (exact-set agreement with the
+    // ngram-jaccard baseline is asserted in the next test)
+    val expected = (0L until 500L by 20).map(i => (i, i + 1000000)).toSet
+    assert(expected.subsetOf(pairs))
+  }
+
+  test("ngram jaccard baseline agrees with minhash on the same corpus") {
+    val mutated = docs.where($"doc_id" % 20 === 0)
+      .select(($"doc_id" + 1000000).as("doc_id"), concat($"text", lit(" zz")).as("text"))
+    val corpus = docs.select($"doc_id", $"text").unionByName(mutated)
+    val a = Dedup.ngramJaccardPairs(corpus, $"doc_id", $"text", threshold = 0.7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.minhashPairs(corpus, $"doc_id", $"text", threshold = 0.7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("simhash pairs identical and near-identical token streams") {
+    val base = docs.select($"doc_id", $"text")
+    val clones = docs.where($"doc_id" % 50 === 0)
+      .select(($"doc_id" + 1000000).as("doc_id"), $"text")
+    val pairs = Dedup.simhashPairs(base.unionByName(clones), $"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    assert((0L until 500L by 50).map(i => (i, i + 1000000)).toSet.subsetOf(exact))
+  }
+
+  test("embedding cosine near-dup via hyperplane LSH finds injected clones") {
+    val clones = emb.where($"vec_id" % 25 === 0)
+      .select(($"vec_id" + 1000000).as("vec_id"), $"embedding", $"label")
+    val pairs = Dedup.embeddingCosinePairs(
+      emb.unionByName(clones), $"vec_id", $"embedding", minCosine = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 500L by 25).map(i => (i, i + 1000000)).toSet
+    assert(expected.subsetOf(pairs))
+  }
+
+  test("brute-force cosine top-k is deterministic and self-excludes correctly") {
+    val q = emb.where($"vec_id" === 0).select($"embedding").collect()
+      .head.getSeq[Float](0)
+    val top = Similarity.topKCosine(emb.where($"vec_id" =!= 0), $"vec_id", $"embedding", q, 10)
+      .collect().map(_.getLong(0))
+    assert(top.length == 10)
+    // exact local oracle: cosine computed in plain Scala over collected rows
+    val all = emb.where($"vec_id" =!= 0).select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val qd = q.map(_.toDouble).toArray
+    val expected = all.map { case (i, v) => (i, cos(qd, v)) }
+      .sortBy { case (i, c) => (-c, i) }.take(10).map(_._1)
+    assert(top.toSeq == expected.toSeq)
+  }
+
+  test("LSH ANN achieves usable recall vs brute force on 500 vectors") {
+    val q = emb.where($"vec_id" === 0).select($"embedding").collect()
+      .head.getSeq[Float](0)
+    val exact = Similarity.topKCosine(emb, $"vec_id", $"embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.annTopKCosine(emb, $"vec_id", $"embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.intersect(exact).size >= 5, s"recall too low: $approx vs $exact")
+  }
+
+  test("token counts match a hand count") {
+    val df = Seq("a b  c", " x ", "", "one").toDF("t")
+      .select(TextAnalysis.tokenCount($"t").as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(3, 1, 0, 1))
+  }
+
+  test("quality metrics and gate") {
+    val good = Seq("the quick brown fox jumps over the lazy dog again and again").toDF("t")
+    val bad = Seq("1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16").toDF("t")
+    assert(good.select(TextAnalysis.qualityPass($"t")).collect().head.getBoolean(0))
+    assert(!bad.select(TextAnalysis.qualityPass($"t")).collect().head.getBoolean(0))
+    val m = good.select(TextAnalysis.qualityMetrics($"t").as("m")).select("m.*").collect().head
+    assert(m.getAs[Int]("n_tokens") == 12)
+    assert(m.getAs[Int]("n_stopwords") == 3) // the, the, and
+  }
+
+  test("language id picks the marker-dominant language") {
+    val df = Seq(
+      "the cat and the dog went to the market in that town",
+      "der Hund und die Katze sind nicht auf der Straße",
+      "el perro y la casa es en los campos que hay por aquí",
+      "le chien est dans la maison et les champs pour vous",
+      "mmmm hmm zzz").toDF("t")
+    val got = df.select(TextAnalysis.langId($"t")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "de", "es", "fr", "und"))
+  }
+
+  test("fingerprints are stable under small edits, distinct for different docs") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog and runs far away tonight"),
+      ("b", "the quick brown fox jumps over the lazy dog and runs far away tonight ok"),
+      ("c", "completely different content about spark query engines and columnar io")).toDF("id", "t")
+      .select($"id", TextAnalysis.fingerprint($"t").as("fp"))
+    val fps = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    val simAB = fps("a").intersect(fps("b")).size.toDouble / fps("a").union(fps("b")).size
+    val simAC = fps("a").intersect(fps("c")).size.toDouble / fps("a").union(fps("c")).size
+    assert(simAB > 0.5)
+    assert(simAC == 0.0)
+  }
+
+  test("sketch expressions: minhash/simhash/cosine sanity") {
+    val df = Seq((Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("x", "y", "z"))).toDF("s1", "s2", "s3")
+    val r = df.select(
+      minhashSig($"s1", 16).as("m1"), minhashSig($"s2", 16).as("m2"),
+      minhashSig($"s3", 16).as("m3"),
+      simhash64($"s1").as("h1"), simhash64($"s2").as("h2")).collect().head
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(r.getSeq[Long](0) != r.getSeq[Long](2))
+    assert(r.getLong(3) == r.getLong(4))
+    val c = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(2.0f, 0.0f)))
+      .toDF("a", "b", "c")
+      .select(cosineSim($"a", $"b"), cosineSim($"a", $"c"), cosineSim($"a", $"a"))
+      .collect().head
+    assert(c.getDouble(0) == 0.0 && math.abs(c.getDouble(1) - 1.0) < 1e-12 &&
+      math.abs(c.getDouble(2) - 1.0) < 1e-12)
+  }
+}
