@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.checks.ValidationJob
+import graft.gen.Synth
+import graft.io.{Ledger, ParquetSnapshotIO}
+
+/** Snapshot pinning, ledger lineage, and kill/resume semantics. */
+class ResumeSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private def tmp(): String = Files.createTempDirectory("graft-resume").toString
+
+  private def writeCorpus(dir: String, n: Long, parts: Int): Unit =
+    Synth.corpusDF(spark, n).repartition(parts)
+      .write.mode("overwrite").parquet(dir)
+
+  test("snapshot pinning is idempotent and late files do not leak into a pinned snapshot") {
+    val in = tmp()
+    writeCorpus(s"$in/docs", 90, 4)
+    val m = tmp()
+    val s1 = ParquetSnapshotIO.pinSnapshot(spark, s"$in/docs", m)
+    val s2 = ParquetSnapshotIO.pinSnapshot(spark, s"$in/docs", m)
+    assert(s1 == s2 && s1.files.size == 4)
+    // a file arriving after the pin is not visible through the snapshot read
+    Synth.corpusDF(spark, 9).coalesce(1).write.mode("append").parquet(s"$in/docs")
+    assert(ParquetSnapshotIO.readSnapshot(spark, s1, s1.files).count() == 90)
+    // but a new pin sees it
+    val s3 = ParquetSnapshotIO.pinSnapshot(spark, s"$in/docs", m)
+    assert(s3.files.size == 5 && s3.snapshotId != s1.snapshotId)
+  }
+
+  test("full run writes verdicts, violations, and one ledger row per file") {
+    val in = tmp(); val out = tmp()
+    writeCorpus(s"$in/docs", 180, 6)
+    val sum = ValidationJob.run(spark, s"$in/docs", out, "run1", batches = 3)
+    assert(sum.rows == 180 && sum.batchesRun == 3 && sum.batchesSkipped == 0)
+    val ledger = Ledger.read(spark, out)
+    assert(ledger.count() == 6)
+    assert(ledger.agg(sum1("rows_validated")).collect().head.getLong(0) == 180)
+    val verdicts = spark.read.parquet(s"$out/verdicts")
+    assert(verdicts.count() == 180)
+    // violations total matches the closed-form per-class expectation
+    val viols = spark.read.parquet(s"$out/violations")
+    assert(viols.count() == 20 * Synth.violationsPerClass.sum)
+  }
+
+  private def sum1(c: String) = org.apache.spark.sql.functions.sum(col(c))
+
+  test("a killed run resumes replaying only unfinished files, with identical final output") {
+    val in = tmp(); val out = tmp()
+    writeCorpus(s"$in/docs", 180, 6)
+    // kill after 1 of 3 batches
+    val p1 = ValidationJob.run(spark, s"$in/docs", out, "run1", batches = 3, maxBatches = 1)
+    assert(p1.batchesRun == 1)
+    assert(Ledger.read(spark, out).count() == 2) // 2 files per batch
+    // resume: the 2 completed files are skipped
+    val p2 = ValidationJob.run(spark, s"$in/docs", out, "run1", batches = 3)
+    assert(p2.batchesSkipped == 2)
+    assert(p1.rows + p2.rows == 180) // remaining files only, no re-processing
+    // final outputs equal a single-shot run elsewhere
+    val out2 = tmp()
+    ValidationJob.run(spark, s"$in/docs", out2, "runX", batches = 1)
+    val a = spark.read.parquet(s"$out/verdicts").select("doc_id", "passed", "n_violations")
+    val b = spark.read.parquet(s"$out2/verdicts").select("doc_id", "passed", "n_violations")
+    assert(a.count() == 180)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val va = spark.read.parquet(s"$out/violations").select("doc_id", "rule_id", "msg")
+    val vb = spark.read.parquet(s"$out2/violations").select("doc_id", "rule_id", "msg")
+    assert(va.exceptAll(vb).isEmpty && vb.exceptAll(va).isEmpty)
+  }
+
+  test("a second run_id on the same output dir does not reuse the first run's ledger") {
+    val in = tmp(); val out = tmp()
+    writeCorpus(s"$in/docs", 90, 3)
+    ValidationJob.run(spark, s"$in/docs", out, "runA")
+    val again = ValidationJob.run(spark, s"$in/docs", out, "runB")
+    assert(again.batchesSkipped == 0 && again.rows == 90)
+  }
+}
