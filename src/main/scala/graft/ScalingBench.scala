@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.SparkSession
+
+/** Two-parallelism scaling evidence for the north-rule criterion
+  * (throughput scaling efficiency >= 0.8 from N to 4N executors; sandbox
+  * protocol per BASELINE.md: same job, same input, local[N] vs local[4N]).
+  *
+  *   ScalingBench [numDocs] [N]   — runs at local[N] and local[4N]
+  *
+  * Appends the measured table to BENCH/BASELINE.md and prints one JSON line.
+  */
+object ScalingBench {
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toLong else 600000L
+    val n = if (args.length > 1) args(1).toInt else 8
+    val n4 = n * 4
+
+    // generate once (excluded from timing), enough files for 4N parallelism
+    val gen = session(n4)
+    val dir = Bench.ensureCorpus(gen, nDocs, files = n4 * 4)
+    gen.stop()
+
+    def measure(cores: Int): Double = {
+      val s = session(cores)
+      Bench.timeValidate(s, dir) // warm-up
+      val secs = (1 to 3).map(_ => Bench.timeValidate(s, dir)._1).min
+      s.stop()
+      nDocs / secs
+    }
+
+    val tputN = measure(n)
+    val tput4N = measure(n4)
+    val eff = (tput4N / tputN) / 4.0
+
+    val md =
+      f"""
+         |## Scaling run (${java.time.Instant.now()})
+         |
+         || config | validated docs/sec |
+         ||---|---|
+         || local[$n], shuffle.partitions=$n | $tputN%.0f |
+         || local[$n4], shuffle.partitions=$n4 | $tput4N%.0f |
+         |
+         |docs = $nDocs (synthetic interleaved corpus, deterministic seed, ${n4 * 4} files)
+         |efficiency = (tput@$n4 / tput@$n) / 4 = **${eff}%.3f** (criterion: >= 0.8)
+         |""".stripMargin
+    Files.createDirectories(Paths.get("BENCH"))
+    Files.writeString(Paths.get("BENCH/BASELINE.md"), md,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"unit":"ratio","docs":$nDocs,"n":$n,"tput_n":$tputN%.0f,"tput_4n":$tput4N%.0f}""")
+  }
+}

@@ -32,8 +32,18 @@ final class ValidatorKernel(
     offsetIsLong: Boolean)
     extends Serializable {
 
-  /** spans ArrayData -> violations ArrayData. */
-  def validate(spans: ArrayData): ArrayData = {
+  private val fastCheck = new FastCheck(rules)
+  private val noViolations = new GenericArrayData(Array.empty[Any])
+
+  /** spans ArrayData -> violations ArrayData. The allocation-light fast path
+    * proves the common clean-doc case (FastCheck); only ambiguous or failing
+    * docs pay for the full decode + check + message rendering.
+    */
+  def validate(spans: ArrayData): ArrayData =
+    if (fastCheck.clean(spans, numFields, kindOrd, textOrd)) noViolations
+    else validateFull(spans)
+
+  private def validateFull(spans: ArrayData): ArrayData = {
     val n = spans.numElements()
     val decoded = new Array[Span](n)
     var i = 0

@@ -76,4 +76,25 @@ object Synth {
   }
 
   def corpusDF(spark: SparkSession, n: Long): DataFrame = corpus(spark, n).toDF()
+
+  /** Realistic-mix doc: mostly clean, `defectPermille`/1000 docs carry one
+    * deterministic defect class (hash-scattered, not striped, so defects
+    * land uniformly across partitions). Healthy-corpus shape for benchmarks;
+    * the striped `doc(id)` stays the oracle-checkable generator.
+    */
+  def docMixed(id: Long, defectPermille: Int): Doc = {
+    val h = graft.expr.Mix64.mix(id)
+    val cls =
+      if (java.lang.Long.remainderUnsigned(h, 1000L) < defectPermille)
+        1 + java.lang.Long.remainderUnsigned(h >>> 17, 8L).toInt
+      else 0
+    doc(id * NumClasses + cls) // reuse the striped generator's class layout
+  }
+
+  def corpusMixed(spark: SparkSession, n: Long, defectPermille: Int,
+      numPartitions: Option[Int] = None): Dataset[Doc] = {
+    import spark.implicits._
+    val ids = numPartitions.map(p => spark.range(0, n, 1, p)).getOrElse(spark.range(n))
+    ids.map(id => docMixed(id, defectPermille))
+  }
 }

@@ -60,13 +60,23 @@ object Dedup {
       .withColumn("sig", minhashSig(col("sh"), numHashes))
       .withColumn("bands", array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
+    // ONE shuffle: aggregate bucket members per (band, bucket-hash), then
+    // expand i<j pairs intra-row — the sig/shingle subtree is computed once
+    // (a two-sided self-join would recompute and shuffle it twice)
     val buckets = withSig
-      .select(col("id"), col("sh"), posexplode(col("bands")).as(Seq("band", "bh")))
-    val l = buckets.select(col("band"), col("bh"), col("id").as("a"), col("sh").as("sha"))
-    val r = buckets.select(col("band"), col("bh"), col("id").as("b"), col("sh").as("shb"))
-    l.join(r, Seq("band", "bh"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"), jaccard(col("sha"), col("shb")).as("jaccard"))
+      .select(posexplode(col("bands")).as(Seq("band", "bh")), col("id"), col("sh"))
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
+      .where(size(col("ms")) > 1)
+    val pairs = buckets.select(explode(flatten(
+      transform(sequence(lit(0), size(col("ms")) - 2), i =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))), m =>
+          struct(
+            least(col("ms")(i).getField("id"), m.getField("id")).as("a"),
+            greatest(col("ms")(i).getField("id"), m.getField("id")).as("b"),
+            jaccard(col("ms")(i).getField("sh"), m.getField("sh")).as("jaccard"))))))
+      .as("p"))
+    pairs.select(col("p.a").as("a"), col("p.b").as("b"), col("p.jaccard").as("jaccard"))
       .where(col("jaccard") >= threshold)
       .groupBy(col("a"), col("b")).agg(first(col("jaccard")).as("jaccard"))
   }
