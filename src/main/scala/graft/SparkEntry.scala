@@ -170,6 +170,23 @@ object SparkEntry {
       docs.select(col("doc_id"),
         size(TextAnalysis.fingerprint(col("text"))).cast("long").as("n_grams"))
     }),
+    // canonical record serialization (reference model_dump parity, A13)
+    "marc_json_dump" -> ((s, _) => {
+      import s.implicits._
+      val df = Seq(graft.gen.Fixtures.validDoc).toDF()
+      df.select($"doc_id", graft.expr.MarcJson.column($"spans").as("dump"))
+    }),
+    // stats with HLL++ distinct sketches (rows-only: approximate by design;
+    // exactness of the non-sketch fields is covered by col_stats_documents)
+    "col_stats_sketch" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.agg(
+        StatsAgg.columnStats(col("text")).as("st"),
+        approx_count_distinct(col("text")).as("approx_distinct_text"),
+        approx_count_distinct(col("source")).as("approx_distinct_source"))
+        .select(col("st.n_rows"), col("st.n_nulls"),
+          col("approx_distinct_text"), col("approx_distinct_source"))
+    }),
     // tumbling-hour event counts (batch form of the streaming windowed agg)
     "events_hourly" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -300,6 +317,11 @@ object SparkEntry {
                 AND n_digits * 4 <= n_chars) AS quality_pass
         FROM m
       """.trim,
+      "marc_json_dump" -> {
+        // oracle literal = the reference's actual model_dump json on this record
+        val dump = graft.expr.MarcJson.serialize(Fixtures.validDoc.spans)
+        s"SELECT 'on1381158740' AS doc_id, '${dump.replace("'", "''")}' AS dump"
+      },
       "events_hourly" -> """
         SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*)::BIGINT AS n
         FROM events GROUP BY 1, 2

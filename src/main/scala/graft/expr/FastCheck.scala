@@ -1,6 +1,8 @@
 package graft.expr
 
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.rules.RuleSet
@@ -102,8 +104,183 @@ final class FastCheck(rules: RuleSet) extends Serializable {
       b(20) == '4' && b(21) == '5' && b(22) == '0' && b(23) == '0'
   }
 
-  /** True iff the doc provably has zero violations. */
-  def clean(spans: ArrayData, numFields: Int, kindOrd: Int, textOrd: Int): Boolean = {
+  /** True iff the doc provably has zero violations. Dispatches to a
+    * zero-allocation Platform-read path for Tungsten arrays (the production
+    * shape after any scan); other ArrayData implementations use the generic
+    * accessor path below.
+    */
+  def clean(spans: ArrayData, numFields: Int, kindOrd: Int, textOrd: Int): Boolean =
+    spans match {
+      case u: UnsafeArrayData => cleanUnsafe(u, numFields, kindOrd, textOrd)
+      case _                  => cleanGeneric(spans, numFields, kindOrd, textOrd)
+    }
+
+  // ======== zero-allocation path over the Tungsten buffer =================
+  // UnsafeArrayData layout: [8B numElements][null bitset][8B slots]; struct
+  // elements are UnsafeRows addressed by (offset << 32 | size) relative to
+  // the array base; string fields likewise relative to the row base.
+
+  private def cleanUnsafe(arr: UnsafeArrayData, numFields: Int,
+      kindOrd: Int, textOrd: Int): Boolean = {
+    if (hasNonNumericRuleKeys) return false
+    val n = arr.numElements()
+    if (n == 0) return false
+    val base = arr.getBaseObject
+    val aOff = arr.getBaseOffset
+    val slots = aOff + UnsafeArrayData.calculateHeaderPortionInBytes(n)
+    val rowBits = ((numFields + 63) / 64) * 8L
+
+    val seen = new Array[Long](16)
+    val dup = new Array[Long](16)
+    var main1xx = 0
+
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return false
+      val osa = Platform.getLong(base, slots + 8L * i)
+      val rowOff = aOff + (osa >> 32)
+      val nullBits = Platform.getLong(base, rowOff)
+      if ((nullBits & (1L << kindOrd)) != 0) return false
+      val kOsa = Platform.getLong(base, rowOff + rowBits + 8L * kindOrd)
+      val kOff = rowOff + (kOsa >> 32).toInt
+      val kLen = kOsa.toInt
+      val textNull = (nullBits & (1L << textOrd)) != 0
+      var tOff = 0L; var tLen = -1
+      if (!textNull) {
+        val tOsa = Platform.getLong(base, rowOff + rowBits + 8L * textOrd)
+        tOff = rowOff + (tOsa >> 32).toInt; tLen = tOsa.toInt
+      }
+      def kb(j: Int): Byte = Platform.getByte(base, kOff + j)
+
+      if (i == 0) {
+        if (kLen != 3 || kb(0) != 'L' || kb(1) != 'D' || kb(2) != 'R') return false
+        if (tLen < 0 || !leaderOkRaw(base, tOff, tLen)) return false
+      } else if (kLen == 5 && kb(0) == 'm' && kb(1) == 'e' && kb(2) == 'd' &&
+        kb(3) == 'i' && kb(4) == 'a') {
+        // media span: skipped
+      } else if (kLen == 3 && isDigit(kb(0)) && isDigit(kb(1)) && isDigit(kb(2))) {
+        val num = (kb(0) - '0') * 100 + (kb(1) - '0') * 10 + (kb(2) - '0')
+        val w = num >> 6; val bit = 1L << (num & 63)
+        if ((seen(w) & bit) != 0) dup(w) |= bit else seen(w) |= bit
+        if (num < 10) {
+          if (num == 0) return false
+          if (!checkControlRaw(num, base, tOff, tLen)) return false
+        } else {
+          if (num >= 100 && num < 200) main1xx += 1
+          if (!checkDataRaw(num, base, tOff, tLen)) return false
+        }
+      } else {
+        if (kLen == 0) return false
+        if (kb(0) == '1') main1xx += 1
+        if (!tagPatternRaw(base, kOff, kLen)) return false
+      }
+      i += 1
+    }
+    if (main1xx > 1) return false
+    var r = 0
+    while (r < requiredNums.length) {
+      val num = requiredNums(r)
+      if ((seen(num >> 6) & (1L << (num & 63))) == 0) return false
+      r += 1
+    }
+    var k = 0
+    while (k < nonRepeatableNums.length) {
+      val num = nonRepeatableNums(k)
+      if ((dup(num >> 6) & (1L << (num & 63))) != 0) return false
+      k += 1
+    }
+    true
+  }
+
+  private def leaderOkRaw(base: AnyRef, off: Long, len: Int): Boolean = {
+    if (len != 24) return false
+    def b(i: Int): Byte = Platform.getByte(base, off + i)
+    def digit(i: Int): Boolean = b(i) >= '0' && b(i) <= '9'
+    def in(i: Int, s: String): Boolean = s.indexOf(b(i).toChar) >= 0
+    (0 to 4).forall(digit) &&
+      in(5, "acdnp") && in(6, "acdefgijkmoprt") && in(7, "abcdims") &&
+      in(8, " a") && in(9, " a") && b(10) == '2' && b(11) == '2' &&
+      (12 to 16).forall(digit) &&
+      in(17, " 12345678uzIKLM") && in(18, " acinu") && in(19, " abc") &&
+      b(20) == '4' && b(21) == '5' && b(22) == '0' && b(23) == '0'
+  }
+
+  private def tagPatternRaw(base: AnyRef, off: Long, len: Int): Boolean = {
+    var j = 0
+    while (j + 3 <= len) {
+      val a = Platform.getByte(base, off + j)
+      val b = Platform.getByte(base, off + j + 1)
+      val c = Platform.getByte(base, off + j + 2)
+      if ((a == '0' && b >= '1' && b <= '9' && isDigit(c)) ||
+        (a >= '1' && a <= '9' && isDigit(b) && isDigit(c))) return true
+      j += 1
+    }
+    false
+  }
+
+  /** UTF-8 aware char count (continuation bytes don't start a char). */
+  private def numCharsRaw(base: AnyRef, off: Long, len: Int): Int = {
+    var chars = 0; var i = 0
+    while (i < len) {
+      if ((Platform.getByte(base, off + i) & 0xc0) != 0x80) chars += 1
+      i += 1
+    }
+    chars
+  }
+
+  private def checkControlRaw(num: Int, base: AnyRef, tOff: Long, tLen: Int): Boolean =
+    lenKind(num) match {
+      case 0 => true
+      case _ =>
+        if (tLen < 0) return false // null text
+        val chars = numCharsRaw(base, tOff, tLen)
+        if (lenKind(num) == LenFixed) contains(fixedOk(num), chars)
+        else {
+          if (tLen == 0) return false
+          val c0 = Platform.getByte(base, tOff)
+          if (c0 < 0) return false
+          val oks = materialOk(num)(c0)
+          oks != null && contains(oks, chars)
+        }
+    }
+
+  private def checkDataRaw(num: Int, base: AnyRef, tOff: Long, tLen: Int): Boolean = {
+    val i1 = ind1Ok(num); val i2 = ind2Ok(num)
+    val sf = sfCheck(num)
+    if (i1 == null && i2 == null && !sf) return true
+    if (tLen < 2) return false // null or degenerate text
+    val b0 = Platform.getByte(base, tOff); val b1 = Platform.getByte(base, tOff + 1)
+    if (b0 < 0 || b1 < 0) return false
+    if (i1 != null && !i1(b0)) return false
+    if (i2 != null && !i2(b1)) return false
+    if (!sf) return true
+    val validEnabled = sfValidEnabled(num)
+    val vLo = sfValidLo(num); val vHi = sfValidHi(num)
+    val nrLo = sfNonRepLo(num); val nrHi = sfNonRepHi(num)
+    var seenLo = 0L; var seenHi = 0L
+    var j = 2
+    while (j < tLen) {
+      if (Platform.getByte(base, tOff + j) == '$') {
+        if (j + 1 < tLen && Platform.getByte(base, tOff + j + 1) == '$') j += 2
+        else if (j + 1 < tLen) {
+          val code = Platform.getByte(base, tOff + j + 1)
+          if (code < 0) return false
+          val (m, lo) = if (code < 64) (1L << code, true) else (1L << (code - 64), false)
+          if (validEnabled && ((if (lo) vLo else vHi) & m) == 0) return false
+          val already = ((if (lo) seenLo else seenHi) & m) != 0
+          if (already && ((if (lo) nrLo else nrHi) & m) != 0) return false
+          if (lo) seenLo |= m else seenHi |= m
+          j += 2
+        } else j += 1
+      } else j += 1
+    }
+    true
+  }
+
+  // ======== generic ArrayData fallback (tests, non-Tungsten inputs) ========
+
+  private def cleanGeneric(spans: ArrayData, numFields: Int, kindOrd: Int,
+      textOrd: Int): Boolean = {
     if (hasNonNumericRuleKeys) return false
     val n = spans.numElements()
     if (n == 0) return false

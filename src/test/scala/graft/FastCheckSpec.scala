@@ -29,10 +29,21 @@ class FastCheckSpec extends AnyFunSuite {
         s.offset)
     }.toArray[Any])
 
+  // Tungsten form of the same array, so the Platform-read path is exercised
+  private val unsafeProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+    .create(Array[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ArrayType(graft.schema.DocSchema.spanType)))
+
+  private def toUnsafe(spans: Seq[Span]) =
+    unsafeProj(InternalRow(toArrayData(spans))).getArray(0)
+
   private def agreeOnClean(spans: Seq[Span]): Unit = {
-    val fast = fc.clean(toArrayData(spans), 4, 0, 1)
+    val fastGeneric = fc.clean(toArrayData(spans), 4, 0, 1)
+    val fastUnsafe = fc.clean(toUnsafe(spans), 4, 0, 1)
+    assert(fastGeneric == fastUnsafe,
+      s"generic/unsafe fast paths disagree ($fastGeneric vs $fastUnsafe) for $spans")
     val full = MarcValidator.validate(spans, rules)
-    if (fast) assert(full.isEmpty,
+    if (fastGeneric) assert(full.isEmpty,
       s"fast path claimed clean but full path found: ${full.map(_.rule_id)} for $spans")
   }
 
