@@ -68,13 +68,21 @@ object Dedup {
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
       .where(size(col("ms")) > 1)
+    // index-pair expansion: element_at instead of slice() (slice would copy
+    // the heavy member array O(n^2) times per bucket); jaccard via ONE
+    // array_intersect with |union| = |a|+|b|-|inter|
+    def member(ix: Column): Column = element_at(col("ms"), ix + 1)
     val pairs = buckets.select(explode(flatten(
       transform(sequence(lit(0), size(col("ms")) - 2), i =>
-        transform(slice(col("ms"), i + 2, size(col("ms"))), m =>
+        transform(sequence(i + 1, size(col("ms")) - 1), j => {
+          val a = member(i); val b = member(j)
+          val inter = size(array_intersect(a.getField("sh"), b.getField("sh")))
           struct(
-            least(col("ms")(i).getField("id"), m.getField("id")).as("a"),
-            greatest(col("ms")(i).getField("id"), m.getField("id")).as("b"),
-            jaccard(col("ms")(i).getField("sh"), m.getField("sh")).as("jaccard"))))))
+            least(a.getField("id"), b.getField("id")).as("a"),
+            greatest(a.getField("id"), b.getField("id")).as("b"),
+            (inter.cast("double") /
+              (size(a.getField("sh")) + size(b.getField("sh")) - inter)).as("jaccard"))
+        }))))
       .as("p"))
     pairs.select(col("p.a").as("a"), col("p.b").as("b"), col("p.jaccard").as("jaccard"))
       .where(col("jaccard") >= threshold)
