@@ -23,8 +23,27 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap policy: this sandbox VM provides anonymous memory at only ~160 MB/s
+// (host-side overcommit — measured via -XX:+AlwaysPreTouch RSS growth), so a
+// large lazily-touched heap makes G1 fault fresh pages forever and degrades
+// Spark jobs 10-45x run-over-run (measured: 8s -> 22s -> 160s for the same
+// query at -Xmx48g vs a stable 1.05s at -Xmx6g -Xms6g). Clamp the heap to a
+// working-set-sized, fully-pretouched region; -Xms=-Xmx means G1 reuses the
+// same resident pages instead of wandering the address space. Override with
+// SPARK_GRAFT_FORCE_MEM only for experiments.
+val graftHeap: String = {
+  def gigs(s: String): Int = s.trim.toLowerCase match {
+    case g if g.endsWith("g") => g.dropRight(1).toDouble.toInt
+    case m if m.endsWith("m") => math.max(1, m.dropRight(1).toDouble.toInt / 1024)
+    case other                => other.toDouble.toInt
+  }
+  sys.env.get("SPARK_GRAFT_FORCE_MEM").getOrElse {
+    val req = sys.env.get("SPARK_DRIVER_MEM").map(gigs).getOrElse(8)
+    s"${math.min(math.max(req, 4), 10)}g"
+  }
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$graftHeap", s"-Xms$graftHeap", "-XX:+AlwaysPreTouch",
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

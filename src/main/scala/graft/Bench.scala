@@ -27,11 +27,17 @@ object Bench {
   def corpusDir(n: Long): String =
     sys.env.getOrElse("SPARK_GRAFT_CORPUS", s"/tmp/graft_bench_corpus_${n}_$DefectPermille")
 
+  /** True when the last ensureCorpus call hit the /tmp cache (recorded in
+    * the bench JSON so stale-cache effects are visible per-round).
+    */
+  @volatile var corpusWasCached: Boolean = false
+
   def ensureCorpus(spark: SparkSession, n: Long, files: Int): String = {
     val dir = corpusDir(n)
     val p = new Path(dir, "_SUCCESS")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
+    corpusWasCached = fs.exists(p)
+    if (!corpusWasCached) {
       Synth.corpusMixed(spark, n, DefectPermille, Some(files))
         .write.mode("overwrite").parquet(dir)
     }
@@ -62,24 +68,44 @@ object Bench {
 
     // headline corpus: 8x lineitem rows (4.8M docs at sf0.1), 128 files —
     // long enough runs that fixed overhead does not dominate the timing
-    val liRows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    def phase[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"BENCHPHASE $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    val liRows = phase("lineitem_count") {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    }
     val nDocs = math.max(800000L, liRows * 8)
-    val dir = ensureCorpus(spark, nDocs, 128)
-    timeValidate(spark, dir) // warm-up (JIT + codegen + page cache)
-    val (valSec, _) = timeValidate(spark, dir)
+    val dir = phase("ensure_corpus") { ensureCorpus(spark, nDocs, 128) }
+    phase("warmup_validate") { timeValidate(spark, dir) }
+    val (valSec, _) = phase("timed_validate") { timeValidate(spark, dir) }
     val docsPerSec = nDocs / valSec
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double](
       "marc_validate" -> valSec)
+    val rowCounts = scala.collection.mutable.LinkedHashMap[String, Long](
+      "marc_validate" -> nDocs)
+    var failures = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      results(name) = (System.nanoTime() - t0) / 1e9
+      // a broken query must fail loudly (-1), never record a fast timing
+      try { rowCounts(name) = fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failures += 1
+          System.err.println(s"BENCH QUERY FAILED $name: $e")
+          rowCounts(name) = -1L
+      }
+      results(name) =
+        if (rowCounts(name) < 0) -1.0 else (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_docs":$nDocs,"validate_docs_per_sec":$docsPerSec%.0f,"cpus":$cpus}""")
+    val rs = rowCounts.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    val heapG = Runtime.getRuntime.maxMemory() / (1 << 30)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"rows":$rs,"failures":$failures,"sf":"$sfDir","headline_docs":$nDocs,"validate_docs_per_sec":$docsPerSec%.0f,"cpus":$cpus,"heap_gib":$heapG,"corpus_cached":$corpusWasCached}""")
     spark.stop()
   }
 }

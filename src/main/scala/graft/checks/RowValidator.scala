@@ -20,22 +20,19 @@ import graft.rules.RuleSet
 object RowValidator {
 
   /** docs + violations:array<struct> + passed:boolean (one row per doc).
-    * Span-struct field ordinals are resolved inside the expression (no
-    * codegen-fallback `transform` canonicalization in the hot path).
     *
-    * The kernel consumes only (kind, text), so the expression is fed
-    * `arrays_zip(spans.kind, spans.text)`: Catalyst's nested-schema pruning
+    * The kernel consumes only (kind, text), fed as the two extracted field
+    * arrays `spans.kind` / `spans.text`: Catalyst's nested-schema pruning
     * then drops spans.media_ref/spans.offset from the parquet scan whenever
-    * no downstream operator needs them — measured ~2x less scan work on the
-    * benchmark corpus.
+    * no downstream operator needs them, and no per-span row is materialized
+    * on the way in (`arrays_zip` here was a measured regression — it built a
+    * generic row per span; see BENCH/BASELINE.md).
     */
-  def withViolations(docs: DataFrame, rules: RuleSet = RuleSet.default): DataFrame = {
-    val kindText = arrays_zip(
-      col("spans.kind").as("kind"), col("spans.text").as("text"))
+  def withViolations(docs: DataFrame, rules: RuleSet = RuleSet.default): DataFrame =
     docs
-      .withColumn("violations", ValidateSpans(kindText, rules))
+      .withColumn("violations",
+        ValidateSpans(col("spans.kind"), col("spans.text"), rules))
       .withColumn("passed", size(col("violations")) === 0)
-  }
 
   /** Per-doc verdicts only: (doc_id, passed, n_violations). */
   def verdicts(docs: DataFrame, rules: RuleSet = RuleSet.default): DataFrame =

@@ -1,8 +1,6 @@
 package graft.expr
 
-import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.rules.RuleSet
@@ -15,10 +13,19 @@ import graft.rules.RuleSet
   * the reference semantics, never diverge (equivalence is property-tested
   * against the full path in FastCheckSpec).
   *
+  * Input shape: two parallel string arrays (spans.kind, spans.text) rather
+  * than the array-of-struct column. Feeding the extracted field arrays keeps
+  * Catalyst's nested-schema pruning (the parquet scan reads only the kind and
+  * text leaf columns) without `arrays_zip`'s per-span row materialization,
+  * and one `getUTF8String(i)` per field is the only per-span allocation on
+  * every ArrayData implementation (Tungsten, generic, and the vectorized
+  * reader's ColumnarArray alike).
+  *
   * Why: violations are rare in healthy corpora, so the hot loop is "prove
   * clean". The full path allocates ~30 objects/doc (spans, Strings,
   * counters); at 32 cores that allocation rate becomes the scaling limiter.
-  * This path allocates two 16-long bitsets per call and nothing else.
+  * This path allocates two 16-long bitsets per call plus the UTF8String
+  * wrappers (scalar-replaceable) and nothing else.
   */
 final class FastCheck(rules: RuleSet) extends Serializable {
 
@@ -88,202 +95,13 @@ final class FastCheck(rules: RuleSet) extends Serializable {
     }
   }
 
-  // leader position classes, transcribed from the MARC21 leader pattern
-  // (reference models.py:72): ^[0-9]{5} [acdnp] [acdefgijkmoprt] [abcdims]
-  // [\sa] [\sa] 22 [0-9]{5} [\s12345678uzIKLM] [\sacinu] [\sabc] 4500$
-  private def leaderOk(t: UTF8String): Boolean = {
-    if (t.numBytes() != 24) return false // 24 ASCII chars; multi-byte -> fail pattern anyway
-    def b(i: Int): Byte = t.getByte(i)
-    def digit(i: Int): Boolean = b(i) >= '0' && b(i) <= '9'
-    def in(i: Int, s: String): Boolean = s.indexOf(b(i).toChar) >= 0
-    (0 to 4).forall(digit) &&
-      in(5, "acdnp") && in(6, "acdefgijkmoprt") && in(7, "abcdims") &&
-      in(8, " a") && in(9, " a") && b(10) == '2' && b(11) == '2' &&
-      (12 to 16).forall(digit) &&
-      in(17, " 12345678uzIKLM") && in(18, " acinu") && in(19, " abc") &&
-      b(20) == '4' && b(21) == '5' && b(22) == '0' && b(23) == '0'
-  }
-
-  /** True iff the doc provably has zero violations. Dispatches to a
-    * zero-allocation Platform-read path for Tungsten arrays (the production
-    * shape after any scan); other ArrayData implementations use the generic
-    * accessor path below.
+  /** True iff the doc provably has zero violations, over the parallel
+    * (kind, text) arrays of one doc's spans.
     */
-  def clean(spans: ArrayData, numFields: Int, kindOrd: Int, textOrd: Int): Boolean =
-    spans match {
-      case u: UnsafeArrayData => cleanUnsafe(u, numFields, kindOrd, textOrd)
-      case _                  => cleanGeneric(spans, numFields, kindOrd, textOrd)
-    }
-
-  // ======== zero-allocation path over the Tungsten buffer =================
-  // UnsafeArrayData layout: [8B numElements][null bitset][8B slots]; struct
-  // elements are UnsafeRows addressed by (offset << 32 | size) relative to
-  // the array base; string fields likewise relative to the row base.
-
-  private def cleanUnsafe(arr: UnsafeArrayData, numFields: Int,
-      kindOrd: Int, textOrd: Int): Boolean = {
+  def clean(kinds: ArrayData, texts: ArrayData): Boolean = {
     if (hasNonNumericRuleKeys) return false
-    val n = arr.numElements()
-    if (n == 0) return false
-    val base = arr.getBaseObject
-    val aOff = arr.getBaseOffset
-    val slots = aOff + UnsafeArrayData.calculateHeaderPortionInBytes(n)
-    val rowBits = ((numFields + 63) / 64) * 8L
-
-    val seen = new Array[Long](16)
-    val dup = new Array[Long](16)
-    var main1xx = 0
-
-    var i = 0
-    while (i < n) {
-      if (arr.isNullAt(i)) return false
-      val osa = Platform.getLong(base, slots + 8L * i)
-      val rowOff = aOff + (osa >> 32)
-      val nullBits = Platform.getLong(base, rowOff)
-      if ((nullBits & (1L << kindOrd)) != 0) return false
-      val kOsa = Platform.getLong(base, rowOff + rowBits + 8L * kindOrd)
-      val kOff = rowOff + (kOsa >> 32).toInt
-      val kLen = kOsa.toInt
-      val textNull = (nullBits & (1L << textOrd)) != 0
-      var tOff = 0L; var tLen = -1
-      if (!textNull) {
-        val tOsa = Platform.getLong(base, rowOff + rowBits + 8L * textOrd)
-        tOff = rowOff + (tOsa >> 32).toInt; tLen = tOsa.toInt
-      }
-      def kb(j: Int): Byte = Platform.getByte(base, kOff + j)
-
-      if (i == 0) {
-        if (kLen != 3 || kb(0) != 'L' || kb(1) != 'D' || kb(2) != 'R') return false
-        if (tLen < 0 || !leaderOkRaw(base, tOff, tLen)) return false
-      } else if (kLen == 5 && kb(0) == 'm' && kb(1) == 'e' && kb(2) == 'd' &&
-        kb(3) == 'i' && kb(4) == 'a') {
-        // media span: skipped
-      } else if (kLen == 3 && isDigit(kb(0)) && isDigit(kb(1)) && isDigit(kb(2))) {
-        val num = (kb(0) - '0') * 100 + (kb(1) - '0') * 10 + (kb(2) - '0')
-        val w = num >> 6; val bit = 1L << (num & 63)
-        if ((seen(w) & bit) != 0) dup(w) |= bit else seen(w) |= bit
-        if (num < 10) {
-          if (num == 0) return false
-          if (!checkControlRaw(num, base, tOff, tLen)) return false
-        } else {
-          if (num >= 100 && num < 200) main1xx += 1
-          if (!checkDataRaw(num, base, tOff, tLen)) return false
-        }
-      } else {
-        if (kLen == 0) return false
-        if (kb(0) == '1') main1xx += 1
-        if (!tagPatternRaw(base, kOff, kLen)) return false
-      }
-      i += 1
-    }
-    if (main1xx > 1) return false
-    var r = 0
-    while (r < requiredNums.length) {
-      val num = requiredNums(r)
-      if ((seen(num >> 6) & (1L << (num & 63))) == 0) return false
-      r += 1
-    }
-    var k = 0
-    while (k < nonRepeatableNums.length) {
-      val num = nonRepeatableNums(k)
-      if ((dup(num >> 6) & (1L << (num & 63))) != 0) return false
-      k += 1
-    }
-    true
-  }
-
-  private def leaderOkRaw(base: AnyRef, off: Long, len: Int): Boolean = {
-    if (len != 24) return false
-    def b(i: Int): Byte = Platform.getByte(base, off + i)
-    def digit(i: Int): Boolean = b(i) >= '0' && b(i) <= '9'
-    def in(i: Int, s: String): Boolean = s.indexOf(b(i).toChar) >= 0
-    (0 to 4).forall(digit) &&
-      in(5, "acdnp") && in(6, "acdefgijkmoprt") && in(7, "abcdims") &&
-      in(8, " a") && in(9, " a") && b(10) == '2' && b(11) == '2' &&
-      (12 to 16).forall(digit) &&
-      in(17, " 12345678uzIKLM") && in(18, " acinu") && in(19, " abc") &&
-      b(20) == '4' && b(21) == '5' && b(22) == '0' && b(23) == '0'
-  }
-
-  private def tagPatternRaw(base: AnyRef, off: Long, len: Int): Boolean = {
-    var j = 0
-    while (j + 3 <= len) {
-      val a = Platform.getByte(base, off + j)
-      val b = Platform.getByte(base, off + j + 1)
-      val c = Platform.getByte(base, off + j + 2)
-      if ((a == '0' && b >= '1' && b <= '9' && isDigit(c)) ||
-        (a >= '1' && a <= '9' && isDigit(b) && isDigit(c))) return true
-      j += 1
-    }
-    false
-  }
-
-  /** UTF-8 aware char count (continuation bytes don't start a char). */
-  private def numCharsRaw(base: AnyRef, off: Long, len: Int): Int = {
-    var chars = 0; var i = 0
-    while (i < len) {
-      if ((Platform.getByte(base, off + i) & 0xc0) != 0x80) chars += 1
-      i += 1
-    }
-    chars
-  }
-
-  private def checkControlRaw(num: Int, base: AnyRef, tOff: Long, tLen: Int): Boolean =
-    lenKind(num) match {
-      case 0 => true
-      case _ =>
-        if (tLen < 0) return false // null text
-        val chars = numCharsRaw(base, tOff, tLen)
-        if (lenKind(num) == LenFixed) contains(fixedOk(num), chars)
-        else {
-          if (tLen == 0) return false
-          val c0 = Platform.getByte(base, tOff)
-          if (c0 < 0) return false
-          val oks = materialOk(num)(c0)
-          oks != null && contains(oks, chars)
-        }
-    }
-
-  private def checkDataRaw(num: Int, base: AnyRef, tOff: Long, tLen: Int): Boolean = {
-    val i1 = ind1Ok(num); val i2 = ind2Ok(num)
-    val sf = sfCheck(num)
-    if (i1 == null && i2 == null && !sf) return true
-    if (tLen < 2) return false // null or degenerate text
-    val b0 = Platform.getByte(base, tOff); val b1 = Platform.getByte(base, tOff + 1)
-    if (b0 < 0 || b1 < 0) return false
-    if (i1 != null && !i1(b0)) return false
-    if (i2 != null && !i2(b1)) return false
-    if (!sf) return true
-    val validEnabled = sfValidEnabled(num)
-    val vLo = sfValidLo(num); val vHi = sfValidHi(num)
-    val nrLo = sfNonRepLo(num); val nrHi = sfNonRepHi(num)
-    var seenLo = 0L; var seenHi = 0L
-    var j = 2
-    while (j < tLen) {
-      if (Platform.getByte(base, tOff + j) == '$') {
-        if (j + 1 < tLen && Platform.getByte(base, tOff + j + 1) == '$') j += 2
-        else if (j + 1 < tLen) {
-          val code = Platform.getByte(base, tOff + j + 1)
-          if (code < 0) return false
-          val (m, lo) = if (code < 64) (1L << code, true) else (1L << (code - 64), false)
-          if (validEnabled && ((if (lo) vLo else vHi) & m) == 0) return false
-          val already = ((if (lo) seenLo else seenHi) & m) != 0
-          if (already && ((if (lo) nrLo else nrHi) & m) != 0) return false
-          if (lo) seenLo |= m else seenHi |= m
-          j += 2
-        } else j += 1
-      } else j += 1
-    }
-    true
-  }
-
-  // ======== generic ArrayData fallback (tests, non-Tungsten inputs) ========
-
-  private def cleanGeneric(spans: ArrayData, numFields: Int, kindOrd: Int,
-      textOrd: Int): Boolean = {
-    if (hasNonNumericRuleKeys) return false
-    val n = spans.numElements()
-    if (n == 0) return false
+    val n = kinds.numElements()
+    if (n == 0 || texts.numElements() != n) return false
     // tag-occurrence bitsets (1000 bits): seen + seen-twice
     val seen = new Array[Long](16)
     val dup = new Array[Long](16)
@@ -291,15 +109,15 @@ final class FastCheck(rules: RuleSet) extends Serializable {
 
     var i = 0
     while (i < n) {
-      val row = spans.getStruct(i, numFields)
-      if (row.isNullAt(kindOrd)) return false
-      val kind = row.getUTF8String(kindOrd)
+      if (kinds.isNullAt(i)) return false
+      val kind = kinds.getUTF8String(i)
+      val text = if (texts.isNullAt(i)) null else texts.getUTF8String(i)
       val kb = kind.numBytes()
       if (i == 0) {
         // spans[0] must be the leader
         if (kb != 3 || kind.getByte(0) != 'L' || kind.getByte(1) != 'D' ||
           kind.getByte(2) != 'R') return false
-        if (row.isNullAt(textOrd) || !leaderOk(row.getUTF8String(textOrd))) return false
+        if (text == null || !leaderOk(text)) return false
       } else if (kb == 5 && kind.getByte(0) == 'm' && kind.getByte(1) == 'e' &&
         kind.getByte(2) == 'd' && kind.getByte(3) == 'i' && kind.getByte(4) == 'a') {
         // media span: skipped by MARC checks
@@ -311,10 +129,10 @@ final class FastCheck(rules: RuleSet) extends Serializable {
         if ((seen(w) & bit) != 0) dup(w) |= bit else seen(w) |= bit
         if (num < 10) { // "00x" control path
           if (num == 0) return false // "000": Literal rejection -> violation
-          if (!checkControl(num, row, textOrd)) return false
+          if (!checkControl(num, text)) return false
         } else {
           if (num >= 100 && num < 200) main1xx += 1
-          if (!checkDataField(num, row, textOrd)) return false
+          if (!checkDataField(num, text)) return false
         }
       } else {
         // non-3-digit kind: rules can't match (numeric-only table), but the
@@ -341,6 +159,24 @@ final class FastCheck(rules: RuleSet) extends Serializable {
     true
   }
 
+  // leader position classes, transcribed from the MARC21 leader pattern
+  // (reference models.py:72): ^[0-9]{5} [acdnp] [acdefgijkmoprt] [abcdims]
+  // [\sa] [\sa] 22 [0-9]{5} [\s12345678uzIKLM] [\sacinu] [\sabc] 4500$
+  private def leaderOk(t: UTF8String): Boolean = {
+    if (t.numBytes() != 24) return false // 24 ASCII chars; multi-byte -> fail pattern anyway
+    def b(i: Int): Byte = t.getByte(i)
+    def digit(i: Int): Boolean = b(i) >= '0' && b(i) <= '9'
+    def in(i: Int, s: String): Boolean = s.indexOf(b(i).toChar) >= 0
+    var i = 0
+    while (i <= 4) { if (!digit(i)) return false; i += 1 }
+    i = 12
+    while (i <= 16) { if (!digit(i)) return false; i += 1 }
+    in(5, "acdnp") && in(6, "acdefgijkmoprt") && in(7, "abcdims") &&
+      in(8, " a") && in(9, " a") && b(10) == '2' && b(11) == '2' &&
+      in(17, " 12345678uzIKLM") && in(18, " acinu") && in(19, " abc") &&
+      b(20) == '4' && b(21) == '5' && b(22) == '0' && b(23) == '0'
+  }
+
   @inline private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
 
   /** Unanchored search for `0[1-9]\d|[1-9]\d\d` over the kind bytes (safe on
@@ -358,14 +194,12 @@ final class FastCheck(rules: RuleSet) extends Serializable {
     false
   }
 
-  private def checkControl(num: Int, row: org.apache.spark.sql.catalyst.InternalRow,
-      textOrd: Int): Boolean = {
+  private def checkControl(num: Int, t: UTF8String): Boolean = {
     lenKind(num) match {
       case 0 => true // no length rule (001/003/005 or unknown 002/004/009)
       case _ =>
-        if (row.isNullAt(textOrd)) return false
-        val t = row.getUTF8String(textOrd)
-        val chars = t.numChars()
+        if (t == null) return false
+        val chars = t.numChars() // codepoint count — matches Python len()
         if (lenKind(num) == LenFixed) contains(fixedOk(num), chars)
         else { // 007 material dispatch on first char
           if (t.numBytes() == 0) return false
@@ -377,13 +211,11 @@ final class FastCheck(rules: RuleSet) extends Serializable {
     }
   }
 
-  private def checkDataField(num: Int, row: org.apache.spark.sql.catalyst.InternalRow,
-      textOrd: Int): Boolean = {
+  private def checkDataField(num: Int, t: UTF8String): Boolean = {
     val i1 = ind1Ok(num); val i2 = ind2Ok(num)
     val sf = sfCheck(num)
     if (i1 == null && i2 == null && !sf) return true // unknown tag or 841-878
-    if (row.isNullAt(textOrd)) return false
-    val t = row.getUTF8String(textOrd)
+    if (t == null) return false
     val nb = t.numBytes()
     if (nb < 2) return false // degenerate encoding: let the slow path decide
     val b0 = t.getByte(0); val b1 = t.getByte(1)

@@ -54,14 +54,15 @@ object MarcValidator extends Serializable {
           "Input should be a valid string", null, Map.empty)
       case Some(s) =>
         val t = if (s.text == null) "" else s.text
-        if (t.length < 24)
+        val tLen = t.codePointCount(0, t.length) // Python len() semantics
+        if (tLen < 24)
           out += Violation("too_short", Seq("leader"), null, null,
-            s"Value should have at least 24 items after validation, not ${t.length}",
-            t, Map("min_length" -> "24", "actual_length" -> t.length.toString))
-        else if (t.length > 24)
+            s"Value should have at least 24 items after validation, not $tLen",
+            t, Map("min_length" -> "24", "actual_length" -> tLen.toString))
+        else if (tLen > 24)
           out += Violation("too_long", Seq("leader"), null, null,
-            s"Value should have at most 24 items after validation, not ${t.length}",
-            t, Map("max_length" -> "24", "actual_length" -> t.length.toString))
+            s"Value should have at most 24 items after validation, not $tLen",
+            t, Map("max_length" -> "24", "actual_length" -> tLen.toString))
         else if (leaderRegex.findFirstIn(t).isEmpty)
           out += Violation("string_pattern_mismatch", Seq("leader"), null, null,
             s"String should match pattern '$LeaderPattern'",
@@ -123,30 +124,35 @@ object MarcValidator extends Serializable {
         tag, Map("input" -> tag))
       return
     }
+    // length in CODEPOINTS (Python len() semantics — the reference counts
+    // characters, not UTF-16 units; matters only for supplementary chars)
+    val dataLen = data.codePointCount(0, data.length)
     rules.get(tag).flatMap(_.length) match {
       case None => // no length rule (001/003/005, or unknown 002/004/009): skip
       case Some(RuleSet.FixedLen(spec)) =>
-        if (!spec.ok.contains(data.length))
-          out += lengthViolation(tag, data, spec.rendered)
+        if (!spec.ok.contains(dataLen))
+          out += lengthViolation(tag, data, dataLen, spec.rendered)
       case Some(RuleSet.MaterialLen(byChar)) =>
         // 007 dispatches on the material-category (first) char; empty data or
         // unknown material -> expected "None" (reference behavior for unknown
         // material validators.py:100-106; crash-fix policy for empty data,
         // SURVEY.md §1.5.3-4)
-        val spec = if (data.isEmpty) None else byChar.get(data.substring(0, 1))
+        val spec = if (data.isEmpty) None
+          else byChar.get(new String(Character.toChars(data.codePointAt(0))))
         spec match {
-          case Some(sp) if sp.ok.contains(data.length) => // ok
-          case Some(sp) => out += lengthViolation(tag, data, sp.rendered)
-          case None     => out += lengthViolation(tag, data, "None")
+          case Some(sp) if sp.ok.contains(dataLen) => // ok
+          case Some(sp) => out += lengthViolation(tag, data, dataLen, sp.rendered)
+          case None     => out += lengthViolation(tag, data, dataLen, "None")
         }
     }
   }
 
-  private def lengthViolation(tag: String, data: String, valid: String): Violation =
+  private def lengthViolation(tag: String, data: String, dataLen: Int,
+      valid: String): Violation =
     Violation("control_field_length_invalid", Seq("fields", tag), tag, null,
-      s"$tag: Length appears to be invalid. Reported length is: ${data.length}. " +
+      s"$tag: Length appears to be invalid. Reported length is: $dataLen. " +
         s"Expected length is: $valid",
-      data, Map("tag" -> tag, "valid" -> valid, "length" -> data.length.toString))
+      data, Map("tag" -> tag, "valid" -> valid, "length" -> dataLen.toString))
 
   private def validateData(f: Span, rules: RuleSet,
       out: mutable.ArrayBuffer[Violation]): Unit = {

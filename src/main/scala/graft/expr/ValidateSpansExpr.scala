@@ -3,11 +3,11 @@ package graft.expr
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.rules.RuleSet
@@ -18,47 +18,31 @@ import graft.schema.{DocSchema, Span, Violation}
   * rules by dict lookup per field, /root/reference/pydantic_marc/validators.py:59;
   * here the whole table rides along as a codegen reference object, so the
   * per-row pass is a single fused function call with zero lookups or joins).
-  *
-  * Field ordinals are resolved once from the child schema at plan time, so
-  * any struct field order works without a codegen-fallback `transform`.
   */
-final class ValidatorKernel(
-    val rules: RuleSet,
-    numFields: Int,
-    kindOrd: Int,
-    textOrd: Int,
-    mediaOrd: Int,
-    offsetOrd: Int,
-    offsetIsLong: Boolean)
-    extends Serializable {
+final class ValidatorKernel(val rules: RuleSet) extends Serializable {
 
   private val fastCheck = new FastCheck(rules)
   private val noViolations = new GenericArrayData(Array.empty[Any])
 
-  /** spans ArrayData -> violations ArrayData. The allocation-light fast path
-    * proves the common clean-doc case (FastCheck); only ambiguous or failing
-    * docs pay for the full decode + check + message rendering.
+  /** (kinds, texts) ArrayData pair -> violations ArrayData. The
+    * allocation-light fast path proves the common clean-doc case (FastCheck);
+    * only ambiguous or failing docs pay for the full decode + check +
+    * message rendering.
     */
-  def validate(spans: ArrayData): ArrayData =
-    if (fastCheck.clean(spans, numFields, kindOrd, textOrd)) noViolations
-    else validateFull(spans)
+  def validate(kinds: ArrayData, texts: ArrayData): ArrayData =
+    if (fastCheck.clean(kinds, texts)) noViolations
+    else validateFull(kinds, texts)
 
-  private def validateFull(spans: ArrayData): ArrayData = {
-    val n = spans.numElements()
+  private def validateFull(kinds: ArrayData, texts: ArrayData): ArrayData = {
+    val n = kinds.numElements()
+    val nt = texts.numElements()
     val decoded = new Array[Span](n)
     var i = 0
     while (i < n) {
-      val r = spans.getStruct(i, numFields)
-      val off =
-        if (offsetOrd < 0 || r.isNullAt(offsetOrd)) i
-        else if (offsetIsLong) r.getLong(offsetOrd).toInt
-        else r.getInt(offsetOrd)
       decoded(i) = Span(
-        if (r.isNullAt(kindOrd)) null else r.getUTF8String(kindOrd).toString,
-        if (r.isNullAt(textOrd)) null else r.getUTF8String(textOrd).toString,
-        if (mediaOrd < 0 || r.isNullAt(mediaOrd)) null
-        else r.getUTF8String(mediaOrd).toString,
-        off)
+        if (kinds.isNullAt(i)) null else kinds.getUTF8String(i).toString,
+        if (i >= nt || texts.isNullAt(i)) null else texts.getUTF8String(i).toString,
+        null, i)
       i += 1
     }
     val vs = MarcValidator.validate(
@@ -80,39 +64,37 @@ final class ValidatorKernel(
   }
 }
 
-/** Catalyst expression `validate_marc(spans)` -> `array<struct<violation>>`.
+/** Catalyst expression `validate_marc(kinds, texts)` ->
+  * `array<struct<violation>>`, over the two parallel span-field arrays
+  * (`spans.kind`, `spans.text`).
   *
   * Custom because the check bundle (escape-aware subfield parsing, per-code
   * counters, Python-repr message rendering across 241 tag rules) is not
   * expressible as built-in columns without a 241-branch `when` chain that
   * would blow the codegen method-size limit. This stays inside whole-stage
   * codegen: `doGenCode` emits a single call on a reference object.
+  *
+  * Taking the extracted field arrays (instead of the array-of-struct column)
+  * keeps Catalyst's nested-schema pruning alive: the parquet scan reads only
+  * the kind/text leaf columns of `spans` (verified by plan inspection in
+  * RowValidatorSpec), with no `arrays_zip` row materialization in between.
   */
-case class ValidateSpans(child: Expression, rules: RuleSet)
-    extends UnaryExpression {
+case class ValidateSpans(left: Expression, right: Expression, rules: RuleSet)
+    extends BinaryExpression {
 
-  private def spanStruct: Option[StructType] = child.dataType match {
-    case ArrayType(st: StructType, _) => Some(st)
-    case _                            => None
+  private def isStringArray(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _                        => false
   }
 
-  private def ord(st: StructType, name: String): Int =
-    st.fields.indexWhere(_.name == name)
-
-  override def checkInputDataTypes(): TypeCheckResult = spanStruct match {
-    case Some(st) if ord(st, "kind") >= 0 && ord(st, "text") >= 0 =>
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isStringArray(left.dataType) && isStringArray(right.dataType))
       TypeCheckResult.TypeCheckSuccess
-    case _ => TypeCheckResult.TypeCheckFailure(
-      s"validate_marc expects array<struct<kind,text,...>>, got ${child.dataType.sql}")
-  }
+    else TypeCheckResult.TypeCheckFailure(
+      s"validate_marc expects (array<string>, array<string>), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
 
-  @transient private lazy val kernel: ValidatorKernel = {
-    val st = spanStruct.get
-    val offOrd = ord(st, "offset")
-    val offLong = offOrd >= 0 && st(offOrd).dataType == LongType
-    new ValidatorKernel(rules, st.size,
-      ord(st, "kind"), ord(st, "text"), ord(st, "media_ref"), offOrd, offLong)
-  }
+  @transient private lazy val kernel: ValidatorKernel = new ValidatorKernel(rules)
 
   override def dataType: DataType =
     ArrayType(DocSchema.violationType, containsNull = false)
@@ -120,28 +102,34 @@ case class ValidateSpans(child: Expression, rules: RuleSet)
   override def prettyName: String = "validate_marc"
 
   // keep the (large) rule table out of plan strings
-  override def flatArguments: Iterator[Any] = Iterator(child)
-  override def toString: String = s"validate_marc($child)"
-  override def sql: String = s"validate_marc(${child.sql})"
+  override def flatArguments: Iterator[Any] = Iterator(left, right)
+  override def toString: String = s"validate_marc($left, $right)"
+  override def sql: String = s"validate_marc(${left.sql}, ${right.sql})"
 
-  override def nullSafeEval(spans: Any): Any =
-    kernel.validate(spans.asInstanceOf[ArrayData])
+  override def nullSafeEval(kinds: Any, texts: Any): Any =
+    kernel.validate(kinds.asInstanceOf[ArrayData], texts.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val kernelRef =
       ctx.addReferenceObj("marcKernel", kernel, classOf[ValidatorKernel].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernelRef.validate($c);")
+    nullSafeCodeGen(ctx, ev, (k, t) => s"${ev.value} = $kernelRef.validate($k, $t);")
   }
 
-  override protected def withNewChildInternal(newChild: Expression): ValidateSpans =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ValidateSpans =
+    copy(left = newLeft, right = newRight)
 }
 
 object ValidateSpans {
-  /** Column-level API: `ValidateSpans(col("spans"), rules)`. Struct field
-    * order is free — ordinals are resolved from the schema; `kind` and
-    * `text` are required, `media_ref`/`offset` optional.
+  /** Column-level API over the spans struct column:
+    * `ValidateSpans(col("spans"), rules)` — extracts `spans.kind` and
+    * `spans.text` so the scan can prune the other span fields.
     */
   def apply(spans: Column, rules: RuleSet): Column =
-    Bridge.column(ValidateSpans(Bridge.expression(spans), rules))
+    apply(spans.getField("kind"), spans.getField("text"), rules)
+
+  /** Column-level API over pre-extracted parallel field arrays. */
+  def apply(kinds: Column, texts: Column, rules: RuleSet): Column =
+    Bridge.column(ValidateSpans(
+      Bridge.expression(kinds), Bridge.expression(texts), rules))
 }

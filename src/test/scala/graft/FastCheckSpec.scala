@@ -12,51 +12,54 @@ import graft.gen.{Fixtures, Synth}
 import graft.rules.RuleSet
 import graft.schema.Span
 
-/** Soundness of the fast path: `clean(spans) == true` must imply the full
-  * validator finds zero violations. (The converse may be false — the fast
-  * path is allowed to punt to the slow path — but over the generated corpus
-  * we also check it rarely punts on genuinely clean docs.)
+/** Soundness of the fast path: `clean(kinds, texts) == true` must imply the
+  * full validator finds zero violations. (The converse may be false — the
+  * fast path is allowed to punt to the slow path — but over the generated
+  * corpus we also check it rarely punts on genuinely clean docs.)
   */
 class FastCheckSpec extends AnyFunSuite {
 
   private val rules = RuleSet.default
   private val fc = new FastCheck(rules)
 
-  private def toArrayData(spans: Seq[Span]): GenericArrayData =
-    new GenericArrayData(spans.map { s =>
-      InternalRow(UTF8String.fromString(s.kind), UTF8String.fromString(s.text),
-        if (s.media_ref == null) null else UTF8String.fromString(s.media_ref),
-        s.offset)
-    }.toArray[Any])
+  private def kindsOf(spans: Seq[Span]): GenericArrayData =
+    new GenericArrayData(spans.map(s => UTF8String.fromString(s.kind)).toArray[Any])
+  private def textsOf(spans: Seq[Span]): GenericArrayData =
+    new GenericArrayData(spans.map(s =>
+      if (s.text == null) null else UTF8String.fromString(s.text)).toArray[Any])
 
-  // Tungsten form of the same array, so the Platform-read path is exercised
+  // Tungsten form of the same arrays, so UnsafeArrayData access is exercised
   private val unsafeProj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
     .create(Array[org.apache.spark.sql.types.DataType](
-      org.apache.spark.sql.types.ArrayType(graft.schema.DocSchema.spanType)))
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))
 
-  private def toUnsafe(spans: Seq[Span]) =
-    unsafeProj(InternalRow(toArrayData(spans))).getArray(0)
+  private def cleanOf(spans: Seq[Span]): Boolean = {
+    val generic = fc.clean(kindsOf(spans), textsOf(spans))
+    val row = unsafeProj(InternalRow(kindsOf(spans), textsOf(spans)))
+    val unsafe = fc.clean(row.getArray(0), row.getArray(1))
+    assert(generic == unsafe,
+      s"generic/unsafe fast paths disagree ($generic vs $unsafe) for $spans")
+    generic
+  }
 
   private def agreeOnClean(spans: Seq[Span]): Unit = {
-    val fastGeneric = fc.clean(toArrayData(spans), 4, 0, 1)
-    val fastUnsafe = fc.clean(toUnsafe(spans), 4, 0, 1)
-    assert(fastGeneric == fastUnsafe,
-      s"generic/unsafe fast paths disagree ($fastGeneric vs $fastUnsafe) for $spans")
+    val fast = cleanOf(spans)
     val full = MarcValidator.validate(spans, rules)
-    if (fastGeneric) assert(full.isEmpty,
+    if (fast) assert(full.isEmpty,
       s"fast path claimed clean but full path found: ${full.map(_.rule_id)} for $spans")
   }
 
   test("fast path agrees with full path on fixtures and all synth classes") {
     agreeOnClean(Fixtures.validDoc.spans)
     agreeOnClean(Fixtures.invalidDoc.spans)
-    assert(fc.clean(toArrayData(Fixtures.validDoc.spans), 4, 0, 1)) // no punt
-    assert(!fc.clean(toArrayData(Fixtures.invalidDoc.spans), 4, 0, 1))
+    assert(cleanOf(Fixtures.validDoc.spans)) // no punt
+    assert(!cleanOf(Fixtures.invalidDoc.spans))
     (0L until 90L).foreach { id =>
       val spans = Synth.doc(id).spans
       agreeOnClean(spans)
       val expectClean = id % Synth.NumClasses == 0
-      assert(fc.clean(toArrayData(spans), 4, 0, 1) == expectClean, s"id=$id")
+      assert(cleanOf(spans) == expectClean, s"id=$id")
     }
   }
 
@@ -91,6 +94,7 @@ class FastCheckSpec extends AnyFunSuite {
       Seq(ldr, base(2)), // missing 008
       Seq(Span("LDR", "bad", null, 0), base(1), base(2)), // short leader
       Seq(base(1), base(2)), // no leader at 0
+      base :+ Span("006", "m|||||學", null, 3), // 6 codepoints, 8 bytes: punt/agree
       base :+ Span("600", "10$aX,$aX,", null, 3)) // non-rep subfield repeat
     cases.foreach(agreeOnClean)
   }
@@ -102,7 +106,7 @@ class FastCheckSpec extends AnyFunSuite {
       Gen.alphaNumStr.map(s => "  $a" + s.take(12)),
       Gen.oneOf("", " ", "00$aT", "11$zfoo", "1 $aFoo$eauthor", "  $a1$a2",
         "p|||||", "190306s2017    ht a   j      000 1 hat d", "x" * 40,
-        "  $ax$$y$", "00454cam a22001575i 4500"),
+        "m|||學|", "  $ax$$y$", "00454cam a22001575i 4500"),
       Gen.const(null: String))
     val spanGen = for { t <- tagGen; x <- textGen } yield Span(t, x, null, 0)
     val docGen = for {
