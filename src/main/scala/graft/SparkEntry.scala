@@ -29,6 +29,44 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MARC binary source: encode the golden fixtures to ISO 2709 bytes,
+    // read them back through the distributed MarcSource scan, validate —
+    // must reproduce the same 9-violation oracle (the reference's pymarc
+    // entry path, README.md:24-28).
+    "marc_decode" -> ((s, _) => {
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-mrc")
+      java.nio.file.Files.write(dir.resolve("fixtures.mrc"),
+        graft.io.MarcCodec.encodeStream(
+          Seq(Fixtures.validDoc.spans, Fixtures.invalidDoc.spans)))
+      val docs = graft.io.MarcSource.read(s, dir.toString + "/*.mrc")
+        .select($"doc_id", $"spans")
+      RowValidator.violations(docs)
+        .select($"doc_id", $"rule_id", array_join($"loc", "/").as("loc_path"), $"msg")
+    }),
+    // Three-scope override surface: a context-scope rule override (006
+    // length rule dropped) flips exactly one fixture violation off while
+    // record-level checks stay armed (reference validators.py:27-72).
+    "marc_override_flip" -> ((s, _) => {
+      import s.implicits._
+      val ctx = graft.rules.RuleSet.default.withOverrides(Map("006" -> Some(
+        graft.rules.RuleSet.default.get("006").get.copy(length = None))))
+      val docs = Seq(Fixtures.invalidDoc).toDF()
+      RowValidator.withViolations(docs, contextRules = Some(ctx))
+        .select($"doc_id", explode($"violations").as("v"))
+        .select($"doc_id", $"v.rule_id",
+          array_join($"v.loc", "/").as("loc_path"), $"v.msg")
+    }),
+    // Errors-as-JSON export (reference ValidationError.json(),
+    // README.md:96-144): canonical per-record serialization of the
+    // violation list; reference-shape parity is unit-tested byte-for-byte
+    // in FieldErrorsSpec, the oracle pins cross-run determinism.
+    "marc_errors_json" -> ((s, _) => {
+      import s.implicits._
+      val docs = Seq(Fixtures.invalidDoc).toDF()
+      RowValidator.withViolations(docs)
+        .select($"doc_id", graft.expr.MarcErrors.jsonColumn($"violations").as("errors_json"))
+    }),
     // A1-A12: full rule surface over the golden fixtures; oracle is the
     // expected-violation VALUES literal (the reference's own expectations,
     // /root/reference/tests/test_models.py:120-152).
@@ -205,9 +243,23 @@ object SparkEntry {
         s"('1234567890', '$rid', '${loc.replace("'", "''")}', '$esc')"
       }
       .mkString(", ")
+    val overrideRows = Fixtures.expectedInvalid
+      .filterNot(_._1 == "control_field_length_invalid")
+      .map { case (rid, loc, msg) =>
+        s"('1234567890', '$rid', '${loc.replace("'", "''")}', '${msg.replace("'", "''")}')"
+      }
+      .mkString(", ")
+    val errorsJson = graft.expr.MarcErrors.json(
+      graft.expr.MarcValidator.validate(Fixtures.invalidDoc.spans, graft.rules.RuleSet.default))
     Map(
       "marc_fixture_violations" ->
         s"SELECT * FROM (VALUES $fixtureRows) AS t(doc_id, rule_id, loc_path, msg)",
+      "marc_decode" ->
+        s"SELECT * FROM (VALUES $fixtureRows) AS t(doc_id, rule_id, loc_path, msg)",
+      "marc_override_flip" ->
+        s"SELECT * FROM (VALUES $overrideRows) AS t(doc_id, rule_id, loc_path, msg)",
+      "marc_errors_json" ->
+        s"SELECT '1234567890' AS doc_id, '${errorsJson.replace("'", "''")}' AS errors_json",
       "marc_corpus_verdicts" -> """
         SELECT 'non_repeatable_field' AS rule_id, count(*) AS n FROM documents WHERE doc_id % 9 = 1
         UNION ALL SELECT 'missing_required_field', count(*) FROM documents WHERE doc_id % 9 = 2

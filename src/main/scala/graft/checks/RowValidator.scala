@@ -27,12 +27,31 @@ object RowValidator {
     * no downstream operator needs them, and no per-span row is materialized
     * on the way in (`arrays_zip` here was a measured regression — it built a
     * generic row per span; see BENCH/BASELINE.md).
+    *
+    * Three-scope rule resolution (reference validators.py:27-72):
+    * @param rules        record-scope table (plan constant)
+    * @param contextRules context scope — when set, field checks resolve
+    *                     against it (record-level checks keep `rules`)
+    * @param recordRules  optional per-ROW rules column (JSON tag->rule map,
+    *                     RuleJson shape) replacing the record scope rowwise
+    * @param spanRules    optional per-SPAN rules column (array<string> of
+    *                     JSON, parallel to spans), winning per span
     */
-  def withViolations(docs: DataFrame, rules: RuleSet = RuleSet.default): DataFrame =
+  def withViolations(docs: DataFrame, rules: RuleSet = RuleSet.default,
+      contextRules: Option[RuleSet] = None, recordRules: Option[Column] = None,
+      spanRules: Option[Column] = None): DataFrame = {
+    val kinds = col("spans.kind"); val texts = col("spans.text")
+    val validated =
+      if (recordRules.isEmpty && spanRules.isEmpty)
+        ValidateSpans(kinds, texts, rules, contextRules)
+      else
+        ValidateSpans(kinds, texts, rules, contextRules,
+          recordRules.getOrElse(lit(null).cast("string")),
+          spanRules.getOrElse(lit(null).cast("array<string>")))
     docs
-      .withColumn("violations",
-        ValidateSpans(col("spans.kind"), col("spans.text"), rules))
+      .withColumn("violations", validated)
       .withColumn("passed", size(col("violations")) === 0)
+  }
 
   /** Per-doc verdicts only: (doc_id, passed, n_violations). */
   def verdicts(docs: DataFrame, rules: RuleSet = RuleSet.default): DataFrame =

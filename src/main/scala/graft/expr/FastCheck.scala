@@ -27,11 +27,18 @@ import graft.rules.RuleSet
   * This path allocates two 16-long bitsets per call plus the UTF8String
   * wrappers (scalar-replaceable) and nothing else.
   */
-final class FastCheck(rules: RuleSet) extends Serializable {
+final class FastCheck(fieldRules: RuleSet, recordRules: RuleSet)
+    extends Serializable {
+
+  def this(rules: RuleSet) = this(rules, rules)
 
   // ---- plan-time precomputation (all per-tag lookups become array reads) --
+  // field checks (length/indicator/subfield) resolve against fieldRules —
+  // the context scope when provided; record checks (required/non-repeatable)
+  // resolve against recordRules, mirroring MarcValidator's scope split
   private val hasNonNumericRuleKeys: Boolean =
-    rules.entries.exists { case (t, _) => t.length != 3 || !t.forall(_.isDigit) }
+    (fieldRules.entries.iterator ++ recordRules.entries.iterator)
+      .exists { case (t, _) => t.length != 3 || !t.forall(_.isDigit) }
 
   private val LenNone = 0; private val LenFixed = 1; private val LenMaterial = 2
 
@@ -44,21 +51,20 @@ final class FastCheck(rules: RuleSet) extends Serializable {
   private val sfValidEnabled = new Array[Boolean](1000) // valid list non-empty
   private val sfValidLo = new Array[Long](1000); private val sfValidHi = new Array[Long](1000)
   private val sfNonRepLo = new Array[Long](1000); private val sfNonRepHi = new Array[Long](1000)
-  private val nonRepeatable = new Array[Boolean](1000)
   private val nonRepeatableNums: Array[Int] = {
     val b = Array.newBuilder[Int]
-    rules.entries.foreach { case (t, r) =>
+    recordRules.entries.foreach { case (t, r) =>
       if (!r.repeatable && t.length == 3 && t.forall(_.isDigit)) b += t.toInt
     }
     b.result()
   }
   private val requiredNums: Array[Int] =
-    rules.requiredTags.filter(t => t.length == 3 && t.forall(_.isDigit)).map(_.toInt).toArray
+    recordRules.requiredTags.filter(t => t.length == 3 && t.forall(_.isDigit))
+      .map(_.toInt).toArray
 
-  rules.entries.foreach { case (t, r) =>
+  fieldRules.entries.foreach { case (t, r) =>
     if (t.length == 3 && t.forall(_.isDigit)) {
       val n = t.toInt
-      nonRepeatable(n) = !r.repeatable
       r.length match {
         case None => lenKind(n) = LenNone.toByte
         case Some(RuleSet.FixedLen(spec)) =>

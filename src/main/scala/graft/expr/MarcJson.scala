@@ -23,7 +23,13 @@ import graft.schema.Span
   */
 object MarcJson {
 
-  private def esc(sb: java.lang.StringBuilder, s: String): Unit = {
+  /** Python json.dumps default escaping, byte-exact: two-char escapes for
+    * `" \\ \n \r \t \b \f`, \\uXXXX for other control chars AND (dumps
+    * defaults to ensure_ascii=True) every char >= 0x80 — surrogate halves of
+    * a Java String render as their own \\uXXXX, matching CPython's UTF-16
+    * surrogate-pair rendering of astral chars.
+    */
+  private[expr] def esc(sb: java.lang.StringBuilder, s: String): Unit = {
     sb.append('"')
     var i = 0
     while (i < s.length) {
@@ -34,7 +40,9 @@ object MarcJson {
         case '\n' => sb.append("\\n")
         case '\r' => sb.append("\\r")
         case '\t' => sb.append("\\t")
-        case x if x < ' ' => sb.append(f"\\u${x.toInt}%04x")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case x if x < ' ' || x >= 0x80 => sb.append(f"\\u${x.toInt}%04x")
         case x => sb.append(x)
       }
       i += 1

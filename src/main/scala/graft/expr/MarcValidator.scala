@@ -43,7 +43,26 @@ object MarcValidator extends Serializable {
 
   def pyList(xs: Seq[String]): String = xs.map(pyRepr).mkString("[", ", ", "]")
 
-  def validate(spans: Seq[Span], rules: RuleSet): Seq[Violation] = {
+  def validate(spans: Seq[Span], rules: RuleSet): Seq[Violation] =
+    validate(spans, rules, rules, _ => None)
+
+  /** Three-scope rule resolution, mirroring the reference's
+    * `check_marc_rules` (validators.py:27-72):
+    *
+    *   - `recordRules`: governs the RECORD-level checks (non-repeatable,
+    *     required, 1XX) — the reference's `validate_marc_fields` always
+    *     reads the record-scope table (validators.py:221-239), even when a
+    *     validation context is present.
+    *   - `fieldDefault`: the table field checks resolve against when a span
+    *     has no per-span rules — context scope if provided, else the record
+    *     table (validators.py:52-55).
+    *   - `perSpan(i)`: per-field scope, winning over both when defined for
+    *     span i (validators.py:58-62: a field carrying explicit rules keeps
+    *     them).
+    */
+  def validate(spans: Seq[Span], recordRules: RuleSet, fieldDefault: RuleSet,
+      perSpan: Int => Option[RuleSet]): Seq[Violation] = {
+    val rules = recordRules
     val out = mutable.ArrayBuffer.empty[Violation]
 
     // --- leader (spans[0] with kind "LDR") -------------------------------
@@ -105,12 +124,56 @@ object MarcValidator extends Serializable {
     }
 
     // --- per-field checks, in span order ----------------------------------
-    for (f <- fields) {
-      if (f.kind != null && f.kind.startsWith("00")) validateControl(f, rules, out)
-      else validateData(f, rules, out)
+    var i = 0
+    while (i < spans.length) {
+      val f = spans(i)
+      if (f.kind != "LDR" && f.kind != "media") {
+        val tbl = perSpan(i).getOrElse(fieldDefault)
+        if (f.kind != null && f.kind.startsWith("00")) validateControl(f, tbl, out)
+        else validateData(f, tbl, out)
+      }
+      i += 1
     }
     out.toSeq
   }
+
+  /** Standalone single-field validation, with the reference's standalone loc
+    * convention: validating a `ControlField`/`DataField` directly yields
+    * locs prefixed by the failing MODEL ATTRIBUTE, not by "fields" —
+    * ("data", tag) for control lengths (tests/test_fields.py:108,201),
+    * ("indicators", tag, ind) for indicator domains,
+    * ("subfields", tag, code) for subfield checks
+    * (tests/test_fields.py:345,455,569), ("tag",) for a malformed tag, and
+    * ("data",) for a null control value (tests/test_fields.py:90-91).
+    */
+  def validateField(f: Span, rules: RuleSet = RuleSet.default): Seq[Violation] = {
+    val out = mutable.ArrayBuffer.empty[Violation]
+    if (f.kind != null && f.kind.startsWith("00")) {
+      if (f.text == null) {
+        out += Violation("string_type", Seq("data"), f.kind, null,
+          "Input should be a valid string", null, Map.empty)
+      } else validateControl(f, rules, out)
+    } else validateData(f, rules, out)
+    out.toSeq.map { v =>
+      val standaloneLoc = v.rule_id match {
+        case "control_field_length_invalid"           => Seq("data", v.tag)
+        case "invalid_indicator"                      => Seq("indicators", v.tag, v.code)
+        case "subfield_not_allowed" |
+             "non_repeatable_subfield"                => Seq("subfields", v.tag, v.code)
+        case "string_pattern_mismatch" |
+             "literal_error"                          => Seq("tag")
+        case _                                        => v.loc
+      }
+      v.copy(loc = standaloneLoc)
+    }
+  }
+
+  /** Standalone leader validation (reference PydanticLeader,
+    * tests/test_fields.py:618-632): loc ("leader",) as in record scope.
+    */
+  def validateLeader(text: String, rules: RuleSet = RuleSet.default): Seq[Violation] =
+    validate(Seq(Span("LDR", text, null, 0)), rules)
+      .filter(_.loc.headOption.contains("leader"))
 
   private def validateControl(f: Span, rules: RuleSet,
       out: mutable.ArrayBuffer[Violation]): Unit = {
@@ -197,14 +260,18 @@ object MarcValidator extends Serializable {
             Seq("fields", tag, c.toString), tag, c.toString,
             s"$tag $$$c: Subfield cannot repeat.",
             pyList(subs.collect { case (`c`, v) => v }),
-            Map("tag" -> tag, "code" -> c.toString))
+            Map("tag" -> tag, "code" -> c.toString,
+              // raw values (US-separated) so error renderers can rebuild the
+              // reference's PydanticSubfield reprs without re-parsing pyList
+              "values" -> subs.collect { case (`c`, v) => v }.mkString("\u001f")))
         for (c <- counts.keys.toSeq.sorted
              if sf.valid.nonEmpty && !sf.validSet.contains(c))
           out += Violation("subfield_not_allowed",
             Seq("fields", tag, c.toString), tag, c.toString,
             s"$tag $$$c: Subfield cannot be defined in this field.",
             pyList(subs.collect { case (`c`, v) => v }),
-            Map("tag" -> tag, "code" -> c.toString))
+            Map("tag" -> tag, "code" -> c.toString,
+              "values" -> subs.collect { case (`c`, v) => v }.mkString("\u001f")))
       }
     }
   }

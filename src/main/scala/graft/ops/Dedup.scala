@@ -8,9 +8,9 @@ import graft.expr.SketchExprs._
 /** Deduplication suite for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard. All candidate generation is bucket-local
   * (band join), so the pair space never goes quadratic in corpus size —
-  * the 100 TB shape is: shuffle by band key, join within buckets, verify
-  * exactly. AQE's skew-join handling splits oversized band buckets at
-  * runtime; pair outputs are deduplicated across bands by a final groupBy.
+  * the 100 TB shape is: shuffle compact keys by band, generate candidates
+  * from capped buckets, verify exactly. AQE's skew-join handling splits
+  * oversized band buckets at runtime.
   */
 object Dedup {
 
@@ -29,15 +29,36 @@ object Dedup {
         .otherwise(array(concat_ws(" ", t))))
   }
 
-  /** Exact duplicate groups on arbitrary key columns: (key..., n) with n>1.
-    * Group on a 64-bit hash first so the shuffle carries 8-byte keys, then
-    * verify within group (hash collision-safe via min/max equality check).
+  /** Exact duplicate groups on an arbitrary key column: (key, n) with n>1.
+    *
+    * Group on a 64-bit hash first so the shuffle carries 8-byte keys; hash
+    * collisions (detected via min/max key inequality inside a bucket — at
+    * 10^12 keys a handful of 64-bit collisions are EXPECTED) are resolved by
+    * a second aggregation on the true key restricted to the collided
+    * buckets, so a real duplicate group sharing a bucket with another key is
+    * still reported. The resolve pass re-scans the input filtered by a
+    * broadcast of the (near-empty) collided-hash set — at most a few rows
+    * survive the filter, so its shuffle is negligible.
     */
   def exactDupGroups(df: DataFrame, key: Column): DataFrame =
-    df.groupBy(xxhash64(key).as("key_hash"))
-      .agg(count(lit(1)).as("n"), min(key).as("k_min"), max(key).as("k_max"))
-      .where(col("n") > 1 && col("k_min") === col("k_max"))
+    exactDupGroupsWithHash(df, key, xxhash64(_))
+
+  /** Testable variant: inject a weak hash to force collisions. */
+  private[graft] def exactDupGroupsWithHash(df: DataFrame, key: Column,
+      hashFn: Column => Column): DataFrame = {
+    val hashed = df.select(key.as("key")).withColumn("key_hash", hashFn(col("key")))
+    val g = hashed.groupBy(col("key_hash"))
+      .agg(count(lit(1)).as("n"), min(col("key")).as("k_min"), max(col("key")).as("k_max"))
+      .where(col("n") > 1)
+    val clean = g.where(col("k_min") === col("k_max"))
       .select(col("k_min").as("key"), col("n"))
+    val collided = g.where(col("k_min") =!= col("k_max")).select(col("key_hash"))
+    val resolved = hashed.join(broadcast(collided), Seq("key_hash"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1)
+      .select(col("key"), col("n"))
+    clean.unionByName(resolved)
+  }
 
   /** Exact Jaccard similarity between two distinct-shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -45,48 +66,91 @@ object Dedup {
       .otherwise(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
 
   /** MinHash + LSH near-dup pairs: shingle -> k-min-hash signature -> band
-    * buckets -> bucket-local self-join -> exact-Jaccard verification.
+    * buckets -> capped intra-bucket candidate pairs (signature-estimate
+    * prefilter) -> exact-Jaccard verification over ONE extra scan.
     *
-    * @param bands  signature is split into `bands` bands of `numHashes/bands`
-    *               rows; a pair is a candidate if any band matches.
-    * @return (a, b, jaccard) with a < b and jaccard >= threshold.
+    * Scale shape: the band shuffle carries only (band, bucket-hash, id,
+    * signature) — the shingle arrays never ride the x`bands` fan-out (they
+    * did in v1: a measured x32 shuffle-volume multiplier). Buckets are
+    * capped at `maxBucket` members (deterministic by id order) so one
+    * degenerate mega-bucket — mass-duplicated boilerplate, a real 100 TB
+    * phenomenon — cannot go quadratic; use [[minhashBucketStats]] to audit
+    * what a cap would drop. Candidate pairs are prefiltered by the unbiased
+    * signature estimate (matching minhash components / numHashes >=
+    * threshold - estMargin; at 64 hashes the estimate's sigma is ~0.05 so
+    * the default margin is ~4 sigma), then exactly verified by fetching the
+    * two shingle sets per surviving pair with one scan + one shuffle.
+    *
+    * @return (a, b, jaccard) with a < b and exact jaccard >= threshold.
     */
   def minhashPairs(df: DataFrame, id: Column, text: Column, threshold: Double = 0.8,
-      numHashes: Int = 64, bands: Int = 32): DataFrame = {
+      numHashes: Int = 64, bands: Int = 32, maxBucket: Int = 256,
+      estMargin: Double = 0.2): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
-    val withSig = df
-      .select(id.as("id"), shingles(text).as("sh"))
-      .withColumn("sig", minhashSig(col("sh"), numHashes))
-      .withColumn("bands", array((0 until bands).map(b =>
+    val withSh = df.select(id.as("id"), shingles(text).as("sh"))
+    val withSig = withSh.select(col("id"), minhashSig(col("sh"), numHashes).as("sig"))
+    val bandRows = withSig.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
-    // ONE shuffle: aggregate bucket members per (band, bucket-hash), then
-    // expand i<j pairs intra-row — the sig/shingle subtree is computed once
-    // (a two-sided self-join would recompute and shuffle it twice)
-    val buckets = withSig
-      .select(posexplode(col("bands")).as(Seq("band", "bh")), col("id"), col("sh"))
+        .as(Seq("band", "bh")))
+    // ONE candidate shuffle: aggregate bucket members per (band, bucket),
+    // deterministically capped, then expand i<j pairs intra-row
+    val buckets = bandRows
       .groupBy(col("band"), col("bh"))
-      .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("sig")))),
+        1, maxBucket).as("ms"))
       .where(size(col("ms")) > 1)
-    // index-pair expansion: element_at instead of slice() (slice would copy
-    // the heavy member array O(n^2) times per bucket); jaccard via ONE
-    // array_intersect with |union| = |a|+|b|-|inter|
     def member(ix: Column): Column = element_at(col("ms"), ix + 1)
-    val pairs = buckets.select(explode(flatten(
+    val estMatches = lit((math.ceil((threshold - estMargin) * numHashes)).toInt)
+    val candidates = buckets.select(explode(flatten(
       transform(sequence(lit(0), size(col("ms")) - 2), i =>
-        transform(sequence(i + 1, size(col("ms")) - 1), j => {
-          val a = member(i); val b = member(j)
-          val inter = size(array_intersect(a.getField("sh"), b.getField("sh")))
-          struct(
-            least(a.getField("id"), b.getField("id")).as("a"),
-            greatest(a.getField("id"), b.getField("id")).as("b"),
-            (inter.cast("double") /
-              (size(a.getField("sh")) + size(b.getField("sh")) - inter)).as("jaccard"))
-        }))))
+        filter(
+          transform(sequence(i + 1, size(col("ms")) - 1), j => {
+            val a = member(i); val b = member(j)
+            val matches = size(filter(
+              zip_with(a.getField("sig"), b.getField("sig"),
+                (x, y) => x === y), m => m))
+            struct(
+              least(a.getField("id"), b.getField("id")).as("a"),
+              greatest(a.getField("id"), b.getField("id")).as("b"),
+              matches.as("m"))
+          }),
+          p => p.getField("m") >= estMatches))))
       .as("p"))
-    pairs.select(col("p.a").as("a"), col("p.b").as("b"), col("p.jaccard").as("jaccard"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(lit(1)) // dedupe across bands
+      .select(struct(col("a"), col("b")).as("p"))
+    // exact verify: ONE scan of the shingle table, joined to both pair sides
+    val sides = candidates
+      .select(col("p"), explode(array(col("p.a"), col("p.b"))).as("id"))
+    sides.join(withSh, Seq("id"))
+      .groupBy(col("p"))
+      .agg(min_by(col("sh"), col("id")).as("sha"), max_by(col("sh"), col("id")).as("shb"),
+        count(lit(1)).as("nsides"))
+      .where(col("nsides") === 2)
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        jaccard(col("sha"), col("shb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .groupBy(col("a"), col("b")).agg(first(col("jaccard")).as("jaccard"))
+  }
+
+  /** Band-bucket occupancy audit for [[minhashPairs]]: per-bucket member
+    * counts above `minSize`, descending — run before choosing `maxBucket`
+    * on a new corpus (a capped bucket trades recall inside mass-duplicated
+    * boilerplate clusters for a quadratic-explosion guarantee).
+    */
+  def minhashBucketStats(df: DataFrame, id: Column, text: Column,
+      numHashes: Int = 64, bands: Int = 32, minSize: Long = 2): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = df.select(id.as("id"), shingles(text).as("sh"))
+      .select(col("id"), minhashSig(col("sh"), numHashes).as("sig"))
+    withSig.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
+        .as(Seq("band", "bh")))
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minSize)
+      .orderBy(col("n").desc)
   }
 
   /** n-gram Jaccard near-dup pairs without LSH: exact, via a single-shingle
@@ -107,19 +171,40 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** SimHash near-dup pairs: 64-bit signature, banded into 16-bit chunks
-    * (any-equal-chunk = candidate — guarantees recall for hamming <= 3 by
-    * pigeonhole over 4 chunks), verified by exact hamming distance.
+  /** SimHash near-dup pairs: 64-bit signature, bucketed with the
+    * generalized block scheme (Manku et al., "Detecting Near-Duplicates for
+    * Web Crawling", WWW'07): the signature splits into `maxHamming +
+    * cleanBlocks` blocks; every combination of `cleanBlocks` blocks forms a
+    * table key. By pigeonhole, <= maxHamming flipped bits leave at least
+    * `cleanBlocks` blocks untouched, so every qualifying pair shares at
+    * least one table key — recall is exact, then candidates are verified by
+    * exact hamming distance.
+    *
+    * Scale: table-key width is 64*cleanBlocks/(maxHamming+cleanBlocks) bits.
+    * The default cleanBlocks=2 gives ~25-bit keys at maxHamming=3 (3.3e7
+    * buckets — sub-quadratic at 10^12 docs, vs the 16-bit / 65k-bucket
+    * single-chunk scheme this replaces). For large radii (>= 6) the key
+    * shrinks below ~16 bits and MinHash is the better tool.
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, cleanBlocks: Int = 2): DataFrame = {
+    require(maxHamming >= 1 && cleanBlocks >= 1)
+    val m = maxHamming + cleanBlocks
+    require(m <= 64, "too many blocks")
+    // block b covers bits [64*b/m, 64*(b+1)/m)
+    def blockVal(sig: Column, b: Int): Column = {
+      val loBit = 64 * b / m; val hiBit = 64 * (b + 1) / m
+      shiftrightunsigned(sig, loBit).bitwiseAND(lit((1L << (hiBit - loBit)) - 1))
+    }
+    val tables = (0 until m).combinations(cleanBlocks).toSeq
     val withSig = df.select(id.as("id"), simhash64(tokens(text)).as("sig"))
-    val chunked = withSig.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*)).as(Seq("chunk", "cv")))
-    val l = chunked.select(col("chunk"), col("cv"), col("id").as("a"), col("sig").as("siga"))
-    val r = chunked.select(col("chunk"), col("cv"), col("id").as("b"), col("sig").as("sigb"))
-    l.join(r, Seq("chunk", "cv"))
+    val keyed = withSig.select(col("id"), col("sig"),
+      posexplode(array(tables.zipWithIndex.map { case (blocks, t) =>
+        xxhash64(lit(t) +: blocks.map(b => blockVal(col("sig"), b)): _*)
+      }: _*)).as(Seq("table", "tk")))
+    val l = keyed.select(col("table"), col("tk"), col("id").as("a"), col("sig").as("siga"))
+    val r = keyed.select(col("table"), col("tk"), col("id").as("b"), col("sig").as("sigb"))
+    l.join(r, Seq("table", "tk"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
@@ -127,18 +212,21 @@ object Dedup {
       .groupBy(col("a"), col("b")).agg(min(col("hamming")).as("hamming"))
   }
 
-  /** Embedding near-dup pairs: random-hyperplane LSH (deterministic seeded
-    * planes) -> bucket join -> exact cosine verification.
+  /** Embedding near-dup pairs: random-hyperplane LSH (deterministic in-plan
+    * hash-derived planes, any dimensionality — see [[Similarity.bandKeys]])
+    * -> bucket join -> exact cosine verification.
+    *
+    * Default banding (16 bands x 16 bits) keeps 65k buckets per band —
+    * sized for ~0.95-cosine recall ~0.95 while staying sub-quadratic at
+    * corpus scale (the previous 4x4-bit default had 16 buckets per band:
+    * quadratic at any real size).
     */
   def embeddingCosinePairs(df: DataFrame, id: Column, vec: Column,
-      minCosine: Double = 0.95, nBits: Int = 16, bands: Int = 4): DataFrame = {
-    val sig = Similarity.hyperplaneSig(vec, nBits)
-    val rows = nBits / bands
-    val withSig = df.select(id.as("id"), vec.as("v"), sig.as("sig"))
-      .withColumn("bands", array((0 until bands).map(b =>
-        xxhash64(lit(b), shiftright(col("sig"), b * rows).bitwiseAND(lit((1L << rows) - 1)))): _*))
-    val buckets = withSig.select(col("id"), col("v"),
-      posexplode(col("bands")).as(Seq("band", "bh")))
+      minCosine: Double = 0.95, bands: Int = 16, rowsPerBand: Int = 16,
+      dims: Int = 64): DataFrame = {
+    val keys = Similarity.bandKeys(vec, bands, rowsPerBand, dims)
+    val buckets = df.select(id.as("id"), vec.as("v"),
+      posexplode(keys).as(Seq("band", "bh")))
     val l = buckets.select(col("band"), col("bh"), col("id").as("a"), col("v").as("va"))
     val r = buckets.select(col("band"), col("bh"), col("id").as("b"), col("v").as("vb"))
     l.join(r, Seq("band", "bh"))

@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.expr.Mix64
 import graft.expr.SketchExprs.cosineSim
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -16,25 +15,40 @@ import graft.expr.SketchExprs.cosineSim
   */
 object Similarity {
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * uniform in [-1, 1) from the splitmix64 mix — no RNG state, identical
-    * everywhere.
+  /** Per-band hyperplane LSH keys: array of `bands` longs, element b =
+    * xxhash64(b, packed sign bits of `rowsPerBand` hyperplanes).
+    *
+    * The hyperplane weights are derived in-plan from xxhash64(planeIdx, dim)
+    * scaled to [-1, 1) — deterministic everywhere, any dimensionality, and
+    * ONE expression regardless of bands*rowsPerBand (the per-bit typedLit
+    * plane encoding used previously grew the plan linearly in bit count and
+    * silently corrupted signatures when the vector dimension differed from
+    * the hardcoded plane length; this version fails loudly via assert_true
+    * on a dimension mismatch).
+    *
+    * Bucket-space sizing: each band key has 2^rowsPerBand values, so at
+    * 10^12 rows use rowsPerBand >= 16 to keep expected bucket occupancy
+    * sub-quadratic; recall is then tuned with `bands`.
     */
-  private[ops] def planeComponent(plane: Int, dim: Int): Double =
-    Mix64.mix(plane.toLong * 100003L + dim.toLong).toDouble / Long.MaxValue.toDouble
-
-  /** nBits sign bits of dot(vec, plane_i) packed into a long column. */
-  def hyperplaneSig(vec: Column, nBits: Int): Column = {
-    val dims = 64 // embedding dim of the test tables; planes are truncated/cycled otherwise
-    val bitCols = (0 until nBits).map { p =>
-      val dot = aggregate(
-        zip_with(vec,
-          typedLit((0 until dims).map(d => planeComponent(p, d))),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  def bandKeys(vec: Column, bands: Int, rowsPerBand: Int, dims: Int): Column = {
+    require(bands > 0 && rowsPerBand > 0 && rowsPerBand <= 62 && dims > 0)
+    // null on success, throws on mismatch; coalesced to 0.0 and added to the
+    // first dot product so the check rides inside the single expression
+    val guard = coalesce(
+      assert_true(size(vec) === lit(dims),
+        concat(lit(s"bandKeys: expected $dims-dim vector, got size "),
+          size(vec).cast("string"))).cast("double"),
+      lit(0.0))
+    def weight(p: Column, d: Column): Column =
+      xxhash64(p, d).cast("double") / lit(9.223372036854776e18)
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(b,
+        aggregate(sequence(lit(0), lit(rowsPerBand - 1)), lit(0L), (acc, r) => {
+          val p = b * lit(rowsPerBand) + r
+          val dot = aggregate(sequence(lit(0), lit(dims - 1)), guard, (a2, d) =>
+            a2 + element_at(vec, d + 1).cast("double") * weight(p, d))
+          acc * lit(2L) + when(dot >= 0, lit(1L)).otherwise(lit(0L))
+        })))
   }
 
   /** Brute-force top-k by cosine to a literal query vector. */
@@ -46,21 +60,16 @@ object Similarity {
 
   /** LSH-bucketed top-k: prefilter to vectors sharing >=1 band bucket with
     * the query, then exact cosine re-rank. Approximate — recall measured in
-    * SimilaritySpec against the brute-force baseline.
+    * OpsSpec against the brute-force baseline.
     */
   def annTopKCosine(df: DataFrame, id: Column, vec: Column, query: Seq[Float],
-      k: Int, nBits: Int = 16, bands: Int = 4): DataFrame = {
-    val rows = nBits / bands
-    def bandsOf(sig: Column): Column =
-      array((0 until bands).map(b =>
-        xxhash64(lit(b), shiftright(sig, b * rows).bitwiseAND(lit((1L << rows) - 1)))): _*)
-    val data = df.select(id.as("id"), vec.as("v"), hyperplaneSig(vec, nBits).as("sig"))
-      .select(col("id"), col("v"), explode(bandsOf(col("sig"))).as("bh"))
-    val qSig = hyperplaneSig(typedLit(query), nBits)
-    val qBands = bandsOf(qSig)
+      k: Int, bands: Int = 4, rowsPerBand: Int = 4, dims: Int = 64): DataFrame = {
+    val keys = bandKeys(vec, bands, rowsPerBand, dims)
+    val data = df.select(id.as("id"), vec.as("v"), explode(keys).as("bh"))
+    val qKeys = bandKeys(typedLit(query), bands, rowsPerBand, dims)
     data
       .join(broadcast(
-        df.sparkSession.range(1).select(explode(qBands).as("bh"))), Seq("bh"))
+        df.sparkSession.range(1).select(explode(qKeys).as("bh"))), Seq("bh"))
       .select(col("id"), col("v")).distinct()
       .select(col("id"), cosineSim(col("v"), typedLit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))

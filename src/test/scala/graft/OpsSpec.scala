@@ -23,6 +23,15 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Dedup.exactDupGroups(docs, $"text").count() == 0)
   }
 
+  test("exact dedup resolves hash collisions instead of dropping groups") {
+    // a degenerate 2-bucket hash forces every key to collide: real duplicate
+    // groups inside collided buckets must still be reported exactly
+    val df = Seq("aa", "aa", "bb", "cc", "cc", "cc", "dd").toDF("text")
+    val groups = Dedup.exactDupGroupsWithHash(df, $"text", k => length(k) % 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(groups == Map("aa" -> 2L, "cc" -> 3L))
+  }
+
   test("minhash LSH finds injected near-duplicates and nothing else") {
     val mutated = docs.where($"doc_id" % 20 === 0)
       .select(($"doc_id" + 1000000).as("doc_id"), concat($"text", lit(" zz")).as("text"))
