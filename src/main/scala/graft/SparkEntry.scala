@@ -196,10 +196,13 @@ object SparkEntry {
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
     }),
     // simhash near-dup pairs (rows-only: hash family is engine-defined;
-    // recall/precision asserted in OpsSpec)
+    // recall/precision asserted in OpsSpec). maxHamming=4 -> C(6,2)=15
+    // tables with ~21-bit keys (guaranteed recall, sub-quadratic buckets);
+    // radius 8 on 64-bit simhash needs 45 tables of ~12-bit keys — at that
+    // radius MinHash is the right tool (see Dedup.simhashPairs scaladoc).
     "dedup_simhash_pairs" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 8)
+      Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 4)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
     }),
     // winnowing fingerprint size per doc (rows-only: hash engine-defined)

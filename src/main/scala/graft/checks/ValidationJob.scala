@@ -30,6 +30,15 @@ object ValidationJob {
 
   /** Run (or resume) validation over a parquet docs directory.
     *
+    * Crash atomicity: batch membership is a pure function of the pinned
+    * snapshot (sorted file list, fixed group count), so a replayed batch
+    * always targets the SAME deterministic batch directory, and outputs are
+    * written with Overwrite — a crash after the data writes but before the
+    * ledger append replays the batch into the same directory, clobbering
+    * the partial attempt instead of appending duplicates or stranding
+    * orphan directories. Resume therefore requires the same `batches` value
+    * as the original run (it is part of the recovery-unit definition).
+    *
     * @param batches    number of file batches (recovery units)
     * @param maxBatches stop after this many batches (test hook simulating a
     *                   kill between recovery units)
@@ -39,16 +48,18 @@ object ValidationJob {
       maxBatches: Int = Int.MaxValue): RunSummary = {
     val snap: Snapshot = ParquetSnapshotIO.pinSnapshot(spark, inputDir, s"$outDir/manifests")
     val done = Ledger.completedFiles(spark, outDir, runId, snap.snapshotId)
-    val todo = snap.files.filterNot(done)
-    val groups = partitionBatches(todo, batches)
+    // deterministic batching over the FULL snapshot, then skip whole
+    // finished batches — never regroup the remainder (see scaladoc)
+    val groups = partitionBatches(snap.files.sorted, batches)
+    val todoGroups = groups.filterNot(_.forall(done))
 
     var rows = 0L; var viols = 0L; var ran = 0
-    groups.take(maxBatches).foreach { files =>
+    todoGroups.take(maxBatches).foreach { files =>
       val r = runBatch(spark, snap, files, outDir, runId, rules)
       rows += r.rows; viols += r.violations; ran += 1
     }
     RunSummary(runId, snap.snapshotId, ran,
-      batchesSkipped = (snap.files.size - todo.size), rows, viols)
+      batchesSkipped = groups.size - todoGroups.size, rows, viols)
   }
 
   private def partitionBatches(files: Seq[String], batches: Int): Seq[Seq[String]] =
@@ -58,25 +69,27 @@ object ValidationJob {
   private def runBatch(spark: SparkSession, snap: Snapshot, files: Seq[String],
       outDir: String, runId: String, rules: RuleSet): BatchResult = {
     val t0 = System.nanoTime()
-    // batch key derives from the file set: stable across attempts, so a
-    // resumed run never collides with a prior attempt's output directories
-    val batchId = java.lang.Long.toUnsignedString(
-      files.map(_.hashCode.toLong).reduce((a, b) => a * 1000003L + b), 16)
+    // batch key derives from the (snapshot-sorted) file set: stable across
+    // attempts, so a replayed batch overwrites its own prior partial output
+    val batchId = java.lang.Integer.toUnsignedString(
+      scala.util.hashing.MurmurHash3.orderedHash(files), 16)
     val docs = ParquetSnapshotIO.readSnapshot(spark, snap, files)
     val validated = RowValidator.withViolations(docs, rules)
       .withColumn("src_file", input_file_name())
 
     // one distributed pass: write per-doc verdicts (with per-file lineage);
     // violations expand only for failing docs
+    // Overwrite (not Append): a replayed batch must clobber a crashed
+    // attempt's partial files in this deterministic directory
     val verdicts = validated.select(col("doc_id"), col("passed"),
       size(col("violations")).as("n_violations"), col("src_file"))
-    verdicts.write.mode(SaveMode.Append)
+    verdicts.write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/verdicts/run_id=$runId/batch=$batchId")
 
     val violations = validated.where(not(col("passed")))
       .select(col("doc_id"), col("src_file"), explode(col("violations")).as("v"))
       .select(col("doc_id"), col("src_file"), col("v.*"))
-    violations.write.mode(SaveMode.Append)
+    violations.write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/violations/run_id=$runId/batch=$batchId")
 
     // per-file metrics from the tiny verdict output (not the corpus)

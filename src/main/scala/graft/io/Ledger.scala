@@ -22,7 +22,9 @@ object Ledger {
       rows_validated: Long,
       violations: Long,
       docs_failed: Long,
-      elapsed_ms: Long)
+      // wall time of the whole BATCH this file belonged to (files in a
+      // batch process in one distributed job; per-file time is not a thing)
+      batch_elapsed_ms: Long)
 
   def path(outDir: String): String = s"$outDir/ledger"
 

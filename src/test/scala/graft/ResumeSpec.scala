@@ -57,9 +57,9 @@ class ResumeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val p1 = ValidationJob.run(spark, s"$in/docs", out, "run1", batches = 3, maxBatches = 1)
     assert(p1.batchesRun == 1)
     assert(Ledger.read(spark, out).count() == 2) // 2 files per batch
-    // resume: the 2 completed files are skipped
+    // resume: the completed batch (2 files) is skipped as a unit
     val p2 = ValidationJob.run(spark, s"$in/docs", out, "run1", batches = 3)
-    assert(p2.batchesSkipped == 2)
+    assert(p2.batchesSkipped == 1)
     assert(p1.rows + p2.rows == 180) // remaining files only, no re-processing
     // final outputs equal a single-shot run elsewhere
     val out2 = tmp()
@@ -71,6 +71,27 @@ class ResumeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val va = spark.read.parquet(s"$out/violations").select("doc_id", "rule_id", "msg")
     val vb = spark.read.parquet(s"$out2/violations").select("doc_id", "rule_id", "msg")
     assert(va.exceptAll(vb).isEmpty && vb.exceptAll(va).isEmpty)
+  }
+
+  test("a MID-batch crash (output written, ledger lost) replays without duplicates") {
+    val in = tmp(); val out = tmp()
+    writeCorpus(s"$in/docs", 180, 6)
+    // run one batch fully...
+    ValidationJob.run(spark, s"$in/docs", out, "run1", batches = 3, maxBatches = 1)
+    // ...then simulate a crash BETWEEN the batch's data writes and its
+    // ledger append: the verdict/violation files exist, the ledger does not
+    val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(Ledger.path(out)), true)
+    assert(spark.read.parquet(s"$out/verdicts").count() > 0) // partial output present
+    // resume replays ALL batches (ledger empty); the replayed batch must
+    // overwrite its deterministic directory, not append duplicates
+    val p2 = ValidationJob.run(spark, s"$in/docs", out, "run1", batches = 3)
+    assert(p2.batchesSkipped == 0 && p2.rows == 180)
+    assert(spark.read.parquet(s"$out/verdicts").count() == 180)
+    assert(Ledger.read(spark, out).count() == 6)
+    val viols = spark.read.parquet(s"$out/violations")
+    assert(viols.count() == 20 * Synth.violationsPerClass.sum)
   }
 
   test("a second run_id on the same output dir does not reuse the first run's ledger") {
