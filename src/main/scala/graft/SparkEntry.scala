@@ -211,6 +211,32 @@ object SparkEntry {
       docs.select(col("doc_id"),
         size(TextAnalysis.fingerprint(col("text"))).cast("long").as("n_grams"))
     }),
+    // multimodal: REAL byte-level decode (pure-JVM codecs, no stubs) over a
+    // deterministic synthetic media catalog keyed by documents.doc_id. The
+    // oracle recomputes the decoded features from the closed-form generative
+    // formulas — so the engine's WAV/BMP/frame-container decode must be
+    // byte-exact (chunk walk, row padding, bottom-up rows, frame seeking).
+    "mm_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id").as[java.lang.Long]
+      ops.Multimodal.audioFeatures(ops.Multimodal.syntheticCatalog(ids))
+    }),
+    "mm_image_features" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id").as[java.lang.Long]
+      ops.Multimodal.imageFeatures(ops.Multimodal.syntheticCatalog(ids))
+        .select(col("doc_id"), col("width"), col("height"), col("lum_sum"))
+    }),
+    // video frame sampling: every 2nd frame is seeked to via the container's
+    // length prefixes (others never decoded), then BMP-decoded per frame
+    "mm_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id").as[java.lang.Long]
+      ops.Multimodal.videoFrameFeatures(ops.Multimodal.syntheticCatalog(ids), everyNth = 2)
+    }),
     // canonical record serialization (reference model_dump parity, A13)
     "marc_json_dump" -> ((s, _) => {
       import s.implicits._
@@ -377,6 +403,44 @@ object SparkEntry {
         val dump = graft.expr.MarcJson.serialize(Fixtures.validDoc.spans)
         s"SELECT 'on1381158740' AS doc_id, '${dump.replace("'", "''")}' AS dump"
       },
+      // multimodal oracles: closed-form recomputation of the decoded
+      // features (generative formulas documented in ops/Multimodal.scala)
+      "mm_audio_features" -> """
+        WITH d AS (SELECT doc_id, 800 + (doc_id % 7) * 160 AS n
+                   FROM documents WHERE doc_id % 3 = 1),
+             s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d)
+        SELECT doc_id, 8000::BIGINT AS sample_rate, n::BIGINT AS n_samples,
+               (n // 8)::BIGINT AS duration_ms,
+               sum(abs((doc_id * 1000003 + i * 7919) % 65536 - 32768))::BIGINT AS abs_sum,
+               max(abs((doc_id * 1000003 + i * 7919) % 65536 - 32768))::BIGINT AS peak
+        FROM s GROUP BY doc_id, n
+      """.trim,
+      "mm_image_features" -> """
+        WITH d AS (SELECT doc_id, 13 + (doc_id % 5) AS w, 7 + ((doc_id // 3) % 4) AS h
+                   FROM documents WHERE doc_id % 3 = 0),
+             px AS (SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p FROM d),
+             l AS (SELECT doc_id, w, h,
+                     (299 * ((doc_id * 9176 + (p // w) * 131 + (p % w) * 31) % 256)
+                    + 587 * ((doc_id * 9176 + (p // w) * 131 + (p % w) * 31 + 7) % 256)
+                    + 114 * ((doc_id * 9176 + (p // w) * 131 + (p % w) * 31 + 14) % 256)) // 1000 AS lum
+                   FROM px)
+        SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height, sum(lum)::BIGINT AS lum_sum
+        FROM l GROUP BY doc_id, w, h
+      """.trim,
+      "mm_frame_sample" -> """
+        WITH d AS (SELECT doc_id, 3 + (doc_id % 4) AS nf
+                   FROM documents WHERE doc_id % 3 = 2),
+             f AS (SELECT doc_id, unnest(generate_series(0, nf - 1, 2)) AS fi FROM d),
+             px AS (SELECT doc_id, fi, unnest(generate_series(0, 47)) AS p FROM f),
+             l AS (SELECT doc_id, fi,
+                     (299 * (((doc_id * 131071 + fi * 8191) * 9176 + (p // 8) * 131 + (p % 8) * 31) % 256)
+                    + 587 * (((doc_id * 131071 + fi * 8191) * 9176 + (p // 8) * 131 + (p % 8) * 31 + 7) % 256)
+                    + 114 * (((doc_id * 131071 + fi * 8191) * 9176 + (p // 8) * 131 + (p % 8) * 31 + 14) % 256)) // 1000 AS lum
+                   FROM px)
+        SELECT doc_id, fi::BIGINT AS frame_idx, (fi * 500)::BIGINT AS ts_ms,
+               sum(lum)::BIGINT AS lum_sum
+        FROM l GROUP BY doc_id, fi
+      """.trim,
       "events_hourly" -> """
         SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*)::BIGINT AS n
         FROM events GROUP BY 1, 2

@@ -16,25 +16,75 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("multimodal: feature extraction is deterministic, batched, and schema-typed") {
     val assets = Multimodal.syntheticCatalog(spark, 200)
-    val f1 = Multimodal.extractFeatures(assets).orderBy("asset_id").collect()
-    val f2 = Multimodal.extractFeatures(assets.repartition(7)).orderBy("asset_id").collect()
-    assert(f1.length == 200)
+    val f1 = Multimodal.extractFeatures(assets).orderBy("doc_id").collect()
+    val f2 = Multimodal.extractFeatures(assets.repartition(7)).orderBy("doc_id").collect()
+    assert(f1.length == 200) // every payload decoded — no malformed drops
     assert(f1.map(_.getSeq[Float](2)).head.size == Multimodal.FeatureDim)
     // partitioning must not change results
-    assert(f1.map(r => (r.getString(0), r.getSeq[Float](2))).toSeq ==
-      f2.map(r => (r.getString(0), r.getSeq[Float](2))).toSeq)
+    assert(f1.map(r => (r.getLong(0), r.getSeq[Float](2))).toSeq ==
+      f2.map(r => (r.getLong(0), r.getSeq[Float](2))).toSeq)
   }
 
-  test("multimodal: frame sampling fans out only video assets, per metadata") {
+  test("multimodal: frame-sample plan fans out only video assets, per metadata") {
     val assets = Multimodal.syntheticCatalog(spark, 99).toDF()
-    val frames = Multimodal.sampleFrames(assets, everyMs = 1000)
+    val frames = Multimodal.sampleFramePlan(assets, everyMs = 1000)
     val videos = assets.where($"kind" === "video")
-      .select($"asset_id", (col("duration_ms") / 1000 + 1).cast("long").as("expected"))
-    val got = frames.groupBy($"asset_id").agg(count(lit(1)).as("n"))
-    val joined = videos.join(got, "asset_id")
+      .select($"doc_id", (col("duration_ms") / 1000 + 1).cast("long").as("expected"))
+    val got = frames.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val joined = videos.join(got, "doc_id")
       .where($"n" =!= $"expected")
     assert(joined.count() == 0)
-    assert(frames.select("asset_id").distinct().count() == videos.count())
+    assert(frames.select("doc_id").distinct().count() == videos.count())
+  }
+
+  test("multimodal: real decode — features match the generative formulas") {
+    val ids = spark.range(60).map(java.lang.Long.valueOf(_))
+    val cat = Multimodal.syntheticCatalog(ids)
+    // audio: duration/n_samples/abs_sum from real RIFF chunk-walk decode
+    val audio = Multimodal.audioFeatures(cat).orderBy("doc_id").collect()
+    assert(audio.length == 20)
+    audio.foreach { r =>
+      val id = r.getLong(0)
+      val n = 800 + (id % 7) * 160
+      assert(r.getLong(1) == 8000 && r.getLong(2) == n && r.getLong(3) == n / 8)
+      val absSum = (0L until n).map(i => math.abs((id * 1000003L + i * 7919L) % 65536L - 32768L)).sum
+      assert(r.getLong(4) == absSum)
+    }
+    // image: width/height/lum_sum from real BMP decode (padding + bottom-up)
+    val img = Multimodal.imageFeatures(cat).orderBy("doc_id").collect()
+    assert(img.length == 20)
+    img.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (13 + (id % 5).toInt, 7 + ((id / 3) % 4).toInt)
+      assert(r.getLong(1) == w && r.getLong(2) == h)
+      val lumSum = (for (y <- 0 until h; x <- 0 until w) yield {
+        def ch(c: Int) = ((id * 9176L + y * 131L + x * 31L + c * 7L) % 256L).toInt
+        (299 * ch(0) + 587 * ch(1) + 114 * ch(2)) / 1000
+      }).map(_.toLong).sum
+      assert(r.getLong(3) == lumSum, s"doc $id lum_sum")
+    }
+    // video: every-2nd-frame sampling via length-prefix seeks
+    val frames = Multimodal.videoFrameFeatures(cat, everyNth = 2).orderBy("doc_id", "frame_idx").collect()
+    frames.foreach { r =>
+      val (id, fi) = (r.getLong(0), r.getLong(1))
+      assert(fi % 2 == 0 && fi < 3 + id % 4)
+      assert(r.getLong(2) == fi * 500)
+    }
+    val expectedFrames = (0L until 60L).filter(_ % 3 == 2)
+      .map(id => (3 + id % 4 + 1) / 2).sum
+    assert(frames.length == expectedFrames)
+  }
+
+  test("multimodal: malformed payloads become typed error rows, never exceptions") {
+    val good = Multimodal.syntheticCatalog(spark, 9)
+    val bad = good.map(a => a.copy(bytes = a.bytes.take(6))) // truncate all payloads
+    assert(Multimodal.decodeErrors(good).count() == 0)
+    val errs = Multimodal.decodeErrors(bad).collect()
+    assert(errs.length == 9)
+    assert(errs.forall(_.getString(2).nonEmpty))
+    // extractors drop malformed rows rather than throwing
+    assert(Multimodal.extractFeatures(bad).count() == 0)
+    assert(Multimodal.audioFeatures(bad).count() == 0)
   }
 
   test("multimodal: media stats prune the binary column from the scan") {
