@@ -172,6 +172,24 @@ object SparkEntry {
       top.withColumn("rank", row_number().over(w).cast("long"))
         .select(col("rank"), col("id").as("vec_id"))
     }),
+    // IVF ANN (the scale path): spherical k-means quantizer trained with the
+    // VectorAvgAgg k×dims-state aggregation, inverted-list assignment, probe
+    // search. Probing all k cells is exact by construction — the oracle pins
+    // the full machinery (train/assign/search) to the brute-force answer;
+    // partial-probe recall + partition pruning are covered in IvfSpec.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      val rest = emb.where(col("vec_id") =!= 0)
+      val model = ops.Ivf.train(rest, col("vec_id"), col("embedding"), k = 16, iters = 2)
+      val index = ops.Ivf.assign(rest, col("vec_id"), col("embedding"), model)
+      val top = ops.Ivf.search(index, model, q, topK = 10, nProbe = 16)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cosine").desc, col("id"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("id").as("vec_id"))
+    }),
     // token counting (whitespace tokens per doc)
     "text_token_counts" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -374,6 +392,14 @@ object SparkEntry {
               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
       """.trim,
       "ann_topk" -> """
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+             scored AS (
+          SELECT vec_id, list_cosine_similarity(e.embedding, q.embedding) AS sim
+          FROM embeddings e, q WHERE vec_id <> 0)
+        SELECT row_number() OVER (ORDER BY sim DESC, vec_id) AS rank, vec_id
+        FROM scored ORDER BY sim DESC, vec_id LIMIT 10
+      """.trim,
+      "ann_ivf_topk" -> """
         WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
              scored AS (
           SELECT vec_id, list_cosine_similarity(e.embedding, q.embedding) AS sim
