@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.checks.RowValidator
 import graft.rules.RuleSet
@@ -36,4 +37,68 @@ object StreamingValidation {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col("passed"))
       .agg(count(lit(1)).as("n"))
+
+  /** One streamed dedup input row. */
+  final case class DedupIn(khash: Long, key: String, doc_id: String,
+      ts: java.sql.Timestamp)
+  /** First-seen emission: the surviving doc + how its key is bucketed. */
+  final case class DedupOut(doc_id: String, khash: Long)
+  /** Per-bucket state: true keys already emitted (usually exactly one; >1
+    * only under a 64-bit hash collision, which stays EXACT here).
+    */
+  final case class SeenKeys(keys: List[String])
+
+  /** Stateful streaming exact dedup (custom state via flatMapGroupsWithState,
+    * SURVEY §2 Part B "Streaming"): emit only the FIRST doc per key;
+    * duplicates — within a micro-batch or across batches — are suppressed.
+    *
+    * Shape at scale: groups are keyed by xxhash64(key), so the state shuffle
+    * carries 8-byte keys and state lookups are hash-bucket-local; the full
+    * key string is kept inside the bucket's state, so hash collisions do not
+    * merge distinct keys (same collision policy as the batch
+    * [[graft.ops.Dedup.exactDupGroups]] resolve pass). State is bounded by
+    * the event-time timeout: a key expires `ttl` past the watermark, after
+    * which a re-arrival is treated as new — i.e. dedup-within-watermark
+    * semantics, the same contract as Spark's dropDuplicatesWithinWatermark,
+    * but with the state machine explicit and extensible (e.g. counting
+    * suppressed dups or emitting tombstones would be two-line changes).
+    *
+    * "First" among same-key rows in one micro-batch is engine-defined (the
+    * group iterator's order); across batches it is arrival order.
+    */
+  def firstSeenStream(docs: DataFrame, key: Column, id: Column,
+      tsCol: String, watermark: String = "1 hour",
+      ttlMs: Long = 0L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(xxhash64(key).as("khash"), key.cast("string").as("key"),
+        id.cast("string").as("doc_id"), col(tsCol).as("ts"))
+      .as[DedupIn]
+      .groupByKey(_.khash)
+      .flatMapGroupsWithState[SeenKeys, DedupOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (khash: Long, rows: Iterator[DedupIn], state: GroupState[SeenKeys]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.map(_.keys.toSet).getOrElse(Set.empty[String])
+            var maxTs = Long.MinValue
+            val out = List.newBuilder[DedupOut]
+            rows.foreach { e =>
+              if (e.ts != null) maxTs = math.max(maxTs, e.ts.getTime)
+              if (!seen.contains(e.key)) {
+                seen += e.key
+                out += DedupOut(e.doc_id, khash)
+              }
+            }
+            state.update(SeenKeys(seen.toList))
+            if (maxTs != Long.MinValue) // expire ttl past the newest event,
+              state.setTimeoutTimestamp( // never at/behind the watermark
+                math.max(maxTs + math.max(ttlMs, 1L), state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
 }

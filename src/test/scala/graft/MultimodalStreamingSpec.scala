@@ -116,6 +116,28 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming: stateful first-seen dedup suppresses dups within and across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("text", "doc_id", "ts")
+    val q = StreamingValidation.firstSeenStream(docs, col("text"), col("doc_id"), "ts")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    try {
+      // batch 1: intra-batch dup of "alpha"
+      input.addData(("alpha", "d1", t(0)), ("beta", "d2", t(1)), ("alpha", "d3", t(2)))
+      q.processAllAvailable()
+      // batch 2: cross-batch dup of "alpha" + a new key
+      input.addData(("alpha", "d4", t(3)), ("gamma", "d5", t(4)))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").collect().map(_.getString(0)).toSet
+      assert(got.size == 3 && got.contains("d2") && got.contains("d5"))
+      assert((got.contains("d1") || got.contains("d3")) && !got.contains("d4"))
+    } finally q.stop()
+  }
+
   test("streaming: watermarked windowed violation-rate aggregates by hour") {
     import java.sql.Timestamp
     val dir = Files.createTempDirectory("graft-stream2").toString
