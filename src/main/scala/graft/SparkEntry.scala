@@ -157,7 +157,45 @@ object SparkEntry {
     // oracle recomputes exact 3-gram jaccard pairs in SQL
     "dedup_near_pairs" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      Dedup.minhashPairs(docs, col("doc_id"), col("text"), threshold = 0.8)
+      // testdata documents are one parquet row group -> fan the CPU-heavy
+      // signature stage out to the session's cores (no-op shape at scale)
+      Dedup.minhashPairs(docs, col("doc_id"), col("text"), threshold = 0.8,
+          inputPartitions = s.sparkContext.defaultParallelism)
+        .select(col("a"), col("b"))
+    }),
+    // connected-components cluster resolution over the near-dup pair graph
+    // (keep-one-per-cluster step); oracle = recursive CTE reachability over
+    // the same exact-jaccard pair set
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.8, inputPartitions = s.sparkContext.defaultParallelism)
+      Dedup.dupClusters(pairs.select(col("a"), col("b")))
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
+    // inverted-index exact n-gram Jaccard pairs (the small-corpus baseline
+    // the LSH path is validated against); same oracle SQL as dedup_near_pairs
+    "dedup_ngram_pairs" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), threshold = 0.8)
+        .select(col("a"), col("b"))
+    }),
+    // embedding near-dup via random-hyperplane LSH + exact cosine verify.
+    // The synthetic embeddings are near-orthogonal (max pairwise cosine
+    // ~0.51), so near-dups are planted deterministically: every 25th vector
+    // reappears (id+1000000) with its last 4 of 64 components zeroed
+    // (cosine ~0.97). minCosine=0.75 sits in the wide gap between planted
+    // (~0.97) and background (~0.51) pairs, so float rounding can't flip
+    // membership and the oracle is an exact quadratic recomputation.
+    "dedup_embed_pairs" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val planted = emb.where(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          concat(slice(col("embedding"), 1, 60),
+            array((0 until 4).map(_ => lit(0.0f)): _*)).as("embedding"))
+      Dedup.embeddingCosinePairs(emb.unionByName(planted),
+          col("vec_id"), col("embedding"), minCosine = 0.75, bands = 32)
         .select(col("a"), col("b"))
     }),
     // brute-force cosine top-10 to the vec_id=0 embedding (ANN baseline)
@@ -220,7 +258,8 @@ object SparkEntry {
     // radius MinHash is the right tool (see Dedup.simhashPairs scaladoc).
     "dedup_simhash_pairs" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 4)
+      Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 4,
+          inputPartitions = s.sparkContext.defaultParallelism)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
     }),
     // winnowing fingerprint size per doc (rows-only: hash engine-defined)
@@ -390,6 +429,71 @@ object SparkEntry {
         JOIN shq sb ON sb.doc_id = cand.b
         WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+      """.trim,
+      "dedup_clusters" -> """
+        WITH RECURSIVE t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+        ), shq AS (
+          SELECT doc_id,
+            list_distinct(CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+              ELSE [array_to_string(toks, ' ')] END) AS sh
+          FROM t
+        ), inv AS (
+          SELECT doc_id, unnest(sh) AS g FROM shq
+        ), cand AS (
+          SELECT l.doc_id AS a, r.doc_id AS b FROM inv l JOIN inv r USING (g)
+          WHERE l.doc_id < r.doc_id GROUP BY 1, 2
+        ), pairs AS (
+          SELECT a, b FROM cand
+          JOIN shq sa ON sa.doc_id = cand.a
+          JOIN shq sb ON sb.doc_id = cand.b
+          WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+        ), edges AS (
+          SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs
+        ), cc AS (
+          SELECT DISTINCT x AS id, x AS label FROM edges
+          UNION
+          SELECT e.x AS id, cc.label FROM edges e JOIN cc ON cc.id = e.y
+        )
+        SELECT id AS doc_id, min(label)::BIGINT AS cluster FROM cc GROUP BY id
+      """.trim,
+      "dedup_ngram_pairs" -> """
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+        ), shq AS (
+          SELECT doc_id,
+            list_distinct(CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+              ELSE [array_to_string(toks, ' ')] END) AS sh
+          FROM t
+        ), inv AS (
+          SELECT doc_id, unnest(sh) AS g FROM shq
+        ), cand AS (
+          SELECT l.doc_id AS a, r.doc_id AS b FROM inv l JOIN inv r USING (g)
+          WHERE l.doc_id < r.doc_id GROUP BY 1, 2
+        )
+        SELECT a, b FROM cand
+        JOIN shq sa ON sa.doc_id = cand.a
+        JOIN shq sb ON sb.doc_id = cand.b
+        WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+      """.trim,
+      "dedup_embed_pairs" -> """
+        WITH planted AS (
+          SELECT vec_id + 1000000 AS vec_id,
+                 list_concat(embedding[1:60], [0.0, 0.0, 0.0, 0.0]::FLOAT[]) AS embedding
+          FROM embeddings WHERE vec_id % 25 = 0
+        ), allv AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id, embedding FROM planted
+        )
+        SELECT l.vec_id AS a, r.vec_id AS b
+        FROM allv l JOIN allv r ON l.vec_id < r.vec_id
+        WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.75
       """.trim,
       "ann_topk" -> """
         WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),

@@ -115,6 +115,44 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** hyperplane_bands(vec, bands, rowsPerBand, dims) -> array<bigint>: per-band
+  * random-hyperplane LSH bucket keys. Plane weights derive from
+  * Mix64(planeSeed ^ Mix64(dim)) scaled to [-1,1) — deterministic on every
+  * executor, no materialized plane table, any dimensionality. `dims` is a
+  * loud-fail contract check: a vector of any other length throws (silent
+  * null-padding corrupted signatures in an earlier formulation). Band key =
+  * Mix64(Mix64(band) ^ packed sign bits), so keys from different bands never
+  * share a bucket space.
+  *
+  * This replaces an interpreted higher-order-function tower (nested
+  * transform/aggregate lambdas: bands x rows x dims interpreted closures per
+  * row — measured minutes for a few hundred rows) with one fused codegen'd
+  * loop: ~bands*rows*dims multiply-adds per row.
+  */
+case class HyperplaneBands(child: Expression, bands: Int, rowsPerBand: Int,
+    dims: Int) extends UnaryExpression {
+  require(bands > 0 && rowsPerBand > 0 && rowsPerBand <= 62 && dims > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_bands"
+
+  @transient private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.hyperplaneBands(input.asInstanceOf[ArrayData],
+      bands, rowsPerBand, dims, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"graft.expr.SketchKernels.hyperplaneBands($c, $bands, $rowsPerBand, $dims, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+    copy(child = newChild)
+}
+
 /** Static kernels callable from generated java code. */
 object SketchKernels {
   def minhash(arr: ArrayData, numHashes: Int): ArrayData = {
@@ -157,6 +195,39 @@ object SketchKernels {
     out
   }
 
+  def hyperplaneBands(vec: ArrayData, bands: Int, rows: Int, dims: Int,
+      isFloat: Boolean): ArrayData = {
+    val n = vec.numElements()
+    if (n != dims)
+      throw new IllegalArgumentException(
+        s"hyperplane_bands: expected $dims-dim vector, got $n")
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var r = 0
+      while (r < rows) {
+        val planeSeed = Mix64.mix((b * rows + r).toLong)
+        var dot = 0.0
+        var d = 0
+        while (d < dims) {
+          val x =
+            if (vec.isNullAt(d)) 0.0
+            else if (isFloat) vec.getFloat(d).toDouble
+            else vec.getDouble(d)
+          // weight in [-1, 1): signed 64-bit mix / 2^63
+          dot += x * (Mix64.mix(planeSeed ^ Mix64.mix(d.toLong)).toDouble / 9.223372036854776e18)
+          d += 1
+        }
+        key = (key << 1) | (if (dot >= 0) 1L else 0L)
+        r += 1
+      }
+      out(b) = Mix64.mix(Mix64.mix(b.toLong) ^ key)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (b.numElements() != n) return null
@@ -180,4 +251,6 @@ object SketchExprs {
     Bridge.column(SimHash64(Bridge.expression(c)))
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+  def hyperplaneBands(vec: Column, bands: Int, rowsPerBand: Int, dims: Int): Column =
+    Bridge.column(HyperplaneBands(Bridge.expression(vec), bands, rowsPerBand, dims))
 }

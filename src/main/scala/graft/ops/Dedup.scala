@@ -85,11 +85,20 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, id: Column, text: Column, threshold: Double = 0.8,
       numHashes: Int = 64, bands: Int = 32, maxBucket: Int = 256,
-      estMargin: Double = 0.2): DataFrame = {
+      estMargin: Double = 0.2, inputPartitions: Int = 0): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
-    val withSh = df.select(id.as("id"), shingles(text).as("sh"))
+    // Small single-split inputs (one parquet row group) pin the signature
+    // stage — the CPU-heavy part — to one task; callers pass inputPartitions
+    // to fan it out. At real scale the scan has thousands of splits and the
+    // knob stays 0 (no extra shuffle).
+    val in = if (inputPartitions > 0) df.repartition(inputPartitions) else df
+    val withSh = in.select(id.as("id"), shingles(text).as("sh"))
     val withSig = withSh.select(col("id"), minhashSig(col("sh"), numHashes).as("sig"))
+    // NB: the band-hash array must reference `sig` as a literal-indexed array
+    // of static slices (NOT transform/sequence with sig inside the lambda) —
+    // a lambda-bound formulation re-evaluates the minhash per band element
+    // after optimizer inlining (measured 176s vs 23s on sf0.1, 2026-08-16).
     val bandRows = withSig.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
@@ -187,7 +196,8 @@ object Dedup {
     * shrinks below ~16 bits and MinHash is the better tool.
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 3, cleanBlocks: Int = 2): DataFrame = {
+      maxHamming: Int = 3, cleanBlocks: Int = 2,
+      inputPartitions: Int = 0): DataFrame = {
     require(maxHamming >= 1 && cleanBlocks >= 1)
     val m = maxHamming + cleanBlocks
     require(m <= 64, "too many blocks")
@@ -197,7 +207,8 @@ object Dedup {
       shiftrightunsigned(sig, loBit).bitwiseAND(lit((1L << (hiBit - loBit)) - 1))
     }
     val tables = (0 until m).combinations(cleanBlocks).toSeq
-    val withSig = df.select(id.as("id"), simhash64(tokens(text)).as("sig"))
+    val in = if (inputPartitions > 0) df.repartition(inputPartitions) else df
+    val withSig = in.select(id.as("id"), simhash64(tokens(text)).as("sig"))
     val keyed = withSig.select(col("id"), col("sig"),
       posexplode(array(tables.zipWithIndex.map { case (blocks, t) =>
         xxhash64(lit(t) +: blocks.map(b => blockVal(col("sig"), b)): _*)
@@ -210,6 +221,52 @@ object Dedup {
         bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .groupBy(col("a"), col("b")).agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** Duplicate-cluster resolution: connected components over an undirected
+    * near-dup pair list ((a, b) edges from [[minhashPairs]] /
+    * [[simhashPairs]] / [[embeddingCosinePairs]]), so transitive chains
+    * (a~b, b~c) collapse into one cluster with a canonical id (the minimum
+    * member). The standard keep-one-per-cluster step of a dedup pipeline.
+    *
+    * Algorithm: iterative min-label propagation — each round is one join +
+    * one min-aggregation over (id, label) longs, converging in <= graph
+    * diameter rounds. Near-dup graphs are overwhelmingly cliques/stars
+    * (diameter ~2), so this is 2-4 shuffle rounds in practice; `maxIters`
+    * bounds adversarial chains and the op fails loudly rather than return
+    * half-merged clusters. Edge/label tables stay two-long-column thin
+    * through every shuffle, and each round's result is persisted so lineage
+    * does not grow (the previous round is unpersisted after use).
+    *
+    * @return (id, cluster) — one row per node that appears in any pair.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("a").cast("long").as("x"), col("b").cast("long").as("y"))
+      .unionByName(pairs.select(col("b").cast("long").as("x"), col("a").cast("long").as("y")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("x").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighbor = edges.join(labels.withColumnRenamed("id", "y"), Seq("y"))
+        .select(col("x").as("id"), col("label"))
+      val next = labels.unionByName(neighbor)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"dupClusters: not converged after $maxIters rounds " +
+      "(pathological chain graph — raise maxIters)")
+    labels.select(col("id"), col("label").as("cluster"))
   }
 
   /** Embedding near-dup pairs: random-hyperplane LSH (deterministic in-plan

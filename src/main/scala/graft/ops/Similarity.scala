@@ -16,40 +16,21 @@ import graft.expr.SketchExprs.cosineSim
 object Similarity {
 
   /** Per-band hyperplane LSH keys: array of `bands` longs, element b =
-    * xxhash64(b, packed sign bits of `rowsPerBand` hyperplanes).
-    *
-    * The hyperplane weights are derived in-plan from xxhash64(planeIdx, dim)
-    * scaled to [-1, 1) — deterministic everywhere, any dimensionality, and
-    * ONE expression regardless of bands*rowsPerBand (the per-bit typedLit
-    * plane encoding used previously grew the plan linearly in bit count and
-    * silently corrupted signatures when the vector dimension differed from
-    * the hardcoded plane length; this version fails loudly via assert_true
-    * on a dimension mismatch).
+    * mixed hash of (band, packed sign bits of `rowsPerBand` hyperplanes).
+    * One codegen'd kernel ([[graft.expr.HyperplaneBands]]): plane weights
+    * derive from splitmix64(planeSeed, dim) in-loop — deterministic on every
+    * executor, no plane table, loud failure on a dimension mismatch. (The
+    * previous formulation was an interpreted transform/aggregate lambda
+    * tower — bands x rows x dims interpreted closures per row, measured
+    * ~minutes for a few hundred 64-dim rows; the kernel is ~16k fused
+    * multiply-adds, microseconds.)
     *
     * Bucket-space sizing: each band key has 2^rowsPerBand values, so at
     * 10^12 rows use rowsPerBand >= 16 to keep expected bucket occupancy
     * sub-quadratic; recall is then tuned with `bands`.
     */
-  def bandKeys(vec: Column, bands: Int, rowsPerBand: Int, dims: Int): Column = {
-    require(bands > 0 && rowsPerBand > 0 && rowsPerBand <= 62 && dims > 0)
-    // null on success, throws on mismatch; coalesced to 0.0 and added to the
-    // first dot product so the check rides inside the single expression
-    val guard = coalesce(
-      assert_true(size(vec) === lit(dims),
-        concat(lit(s"bandKeys: expected $dims-dim vector, got size "),
-          size(vec).cast("string"))).cast("double"),
-      lit(0.0))
-    def weight(p: Column, d: Column): Column =
-      xxhash64(p, d).cast("double") / lit(9.223372036854776e18)
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      xxhash64(b,
-        aggregate(sequence(lit(0), lit(rowsPerBand - 1)), lit(0L), (acc, r) => {
-          val p = b * lit(rowsPerBand) + r
-          val dot = aggregate(sequence(lit(0), lit(dims - 1)), guard, (a2, d) =>
-            a2 + element_at(vec, d + 1).cast("double") * weight(p, d))
-          acc * lit(2L) + when(dot >= 0, lit(1L)).otherwise(lit(0L))
-        })))
-  }
+  def bandKeys(vec: Column, bands: Int, rowsPerBand: Int, dims: Int): Column =
+    graft.expr.SketchExprs.hyperplaneBands(vec, bands, rowsPerBand, dims)
 
   /** Brute-force top-k by cosine to a literal query vector. */
   def topKCosine(df: DataFrame, id: Column, vec: Column, query: Seq[Float],
@@ -63,7 +44,7 @@ object Similarity {
     * OpsSpec against the brute-force baseline.
     */
   def annTopKCosine(df: DataFrame, id: Column, vec: Column, query: Seq[Float],
-      k: Int, bands: Int = 4, rowsPerBand: Int = 4, dims: Int = 64): DataFrame = {
+      k: Int, bands: Int = 8, rowsPerBand: Int = 4, dims: Int = 64): DataFrame = {
     val keys = bandKeys(vec, bands, rowsPerBand, dims)
     val data = df.select(id.as("id"), vec.as("v"), explode(keys).as("bh"))
     val qKeys = bandKeys(typedLit(query), bands, rowsPerBand, dims)

@@ -32,6 +32,16 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(groups == Map("aa" -> 2L, "cc" -> 3L))
   }
 
+  test("dupClusters resolves transitive chains into min-labeled components") {
+    // chain 1-2-3, pair 10-11, triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("a", "b")
+    val out = Dedup.dupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("minhash LSH finds injected near-duplicates and nothing else") {
     val mutated = docs.where($"doc_id" % 20 === 0)
       .select(($"doc_id" + 1000000).as("doc_id"), concat($"text", lit(" zz")).as("text"))
