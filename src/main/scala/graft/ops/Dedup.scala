@@ -162,21 +162,45 @@ object Dedup {
       .orderBy(col("n").desc)
   }
 
-  /** n-gram Jaccard near-dup pairs without LSH: exact, via a single-shingle
-    * inverted index (rare-shingle blocking). Smaller corpora / validation
-    * baseline for the MinHash path.
+  /** n-gram Jaccard near-dup pairs without LSH: EXACT, via prefix filtering
+    * (the AllPairs/PPJoin principle, Bayardo et al. WWW'07 / Xiao et al.
+    * ICDE'08): under a global shingle order by ascending document frequency,
+    * two sets with Jaccard >= t must share a shingle within each one's
+    * first |d| - ceil(t*|d|) + 1 shingles — so the inverted index is built
+    * over only that rare-shingle prefix. A naive full-shingle index join
+    * goes quadratic on any common shingle (measured 271 s on 5 k docs at
+    * sf0.1); the prefix index keeps exact recall while candidates stay
+    * near-linear. Pipeline: df-count shuffle (linear) -> per-doc rank
+    * window (shuffle by id) -> prefix-index self-join -> one shingle fetch
+    * per surviving candidate side -> exact Jaccard verify.
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.8, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val withSh = df.select(id.as("id"), shingles(text, n).as("sh"))
-    val inv = withSh.select(col("id"), col("sh"), explode(col("sh")).as("shingle"))
-    val l = inv.select(col("shingle"), col("id").as("a"), col("sh").as("sha"))
-    val r = inv.select(col("shingle"), col("id").as("b"), col("sh").as("shb"))
-    l.join(r, Seq("shingle"))
-      .where(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(first(col("sha")).as("sha"), first(col("shb")).as("shb"))
-      .select(col("a"), col("b"), jaccard(col("sha"), col("shb")).as("jaccard"))
+    val inv = withSh.select(col("id"), size(col("sh")).as("len"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val prefix = inv.join(dfreq, Seq("shingle"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
+      .where(col("rn") <= col("len") - ceil(lit(threshold) * col("len")) + 1)
+      .select(col("shingle"), col("id"))
+    val candidates = prefix.join(prefix.withColumnRenamed("id", "b"), Seq("shingle"))
+      .where(col("id") < col("b"))
+      .select(col("id").as("a"), col("b"))
+      .groupBy(col("a"), col("b")).agg(lit(1))
+      .select(struct(col("a"), col("b")).as("p"))
+    // exact verify: ONE scan of the shingle table joined to both pair sides
+    val sides = candidates
+      .select(col("p"), explode(array(col("p.a"), col("p.b"))).as("id"))
+    sides.join(withSh, Seq("id"))
+      .groupBy(col("p"))
+      .agg(min_by(col("sh"), col("id")).as("sha"), max_by(col("sh"), col("id")).as("shb"),
+        count(lit(1)).as("nsides"))
+      .where(col("nsides") === 2)
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        jaccard(col("sha"), col("shb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

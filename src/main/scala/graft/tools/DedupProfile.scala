@@ -28,8 +28,8 @@ object DedupProfile {
       Dedup.minhashPairs(docs, col("doc_id"), col("text"), threshold = 0.8,
         inputPartitions = 32).count()
     }
-    val n3 = time("warm default") {
-      Dedup.minhashPairs(docs, col("doc_id"), col("text"), threshold = 0.8).count()
+    val n3 = time("ngram prefix-filtered") {
+      Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), threshold = 0.8).count()
     }
     println(s"pairs: $n1 / $n2 / $n3")
     spark.stop()
