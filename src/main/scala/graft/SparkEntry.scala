@@ -262,6 +262,29 @@ object SparkEntry {
           inputPartitions = s.sparkContext.defaultParallelism)
         .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
     }),
+    // corpus vocabulary top-100 terms (count desc, term asc)
+    "text_topk_terms" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.topKTerms(docs, col("text"), k = 100)
+    }),
+    // intra-doc n-gram repetition stats (Gopher-style boilerplate signal)
+    "text_repetition" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+        TextAnalysis.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_grams").cast("long").as("n_grams"),
+          col("r.n_distinct").cast("long").as("n_distinct"))
+    }),
+    // benchmark decontamination: every 50th doc plays the eval set; flag
+    // other docs sharing >= 5 distinct 3-grams with it
+    "text_contamination" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.contaminationOverlap(
+        docs.where(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
+        docs.where(col("doc_id") % 50 === 0), col("text"),
+        n = 3, minOverlap = 5)
+        .select(col("id").as("doc_id"), col("n_overlap"))
+    }),
     // winnowing fingerprint size per doc (rows-only: hash engine-defined)
     "text_fingerprints" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -527,6 +550,47 @@ object SparkEntry {
                (n_tokens BETWEEN 5 AND 100000 AND n_punct * 4 <= n_chars
                 AND n_digits * 4 <= n_chars) AS quality_pass
         FROM m
+      """.trim,
+      "text_topk_terms" -> """
+        WITH toks AS (
+          SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 t -> length(t) > 0)) AS term
+          FROM documents)
+        SELECT term, count(*)::BIGINT AS n FROM toks
+        GROUP BY term ORDER BY n DESC, term LIMIT 100
+      """.trim,
+      "text_repetition" -> """
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+        ), g AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+              ELSE [array_to_string(toks, ' ')] END AS grams
+          FROM t)
+        SELECT doc_id, len(grams)::BIGINT AS n_grams,
+               len(list_distinct(grams))::BIGINT AS n_distinct
+        FROM g
+      """.trim,
+      "text_contamination" -> """
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+        ), shq AS (
+          SELECT doc_id,
+            list_distinct(CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+              ELSE [array_to_string(toks, ' ')] END) AS sh
+          FROM t
+        ), bg AS (
+          SELECT DISTINCT unnest(sh) AS g FROM shq WHERE doc_id % 50 = 0
+        ), dg AS (
+          SELECT doc_id, unnest(sh) AS g FROM shq WHERE doc_id % 50 <> 0
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_overlap
+        FROM dg JOIN bg USING (g)
+        GROUP BY doc_id HAVING count(*) >= 5
       """.trim,
       "marc_json_dump" -> {
         // oracle literal = the reference's actual model_dump json on this record

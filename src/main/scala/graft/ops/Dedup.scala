@@ -17,17 +17,20 @@ object Dedup {
   /** Lowercased word tokens. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Word n-gram shingles (distinct), falling back to whole-text for very
-    * short docs.
+  /** Word n-gram shingles in document order (repeats kept), falling back to
+    * whole-text for very short docs.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def rawShingles(text: Column, n: Int = 3): Column = {
     val t = tokens(text)
-    array_distinct(
-      when(size(t) >= n,
-        transform(sequence(lit(0), size(t) - n),
-          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-        .otherwise(array(concat_ws(" ", t))))
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", t)))
   }
+
+  /** Word n-gram shingles (distinct). */
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(rawShingles(text, n))
 
   /** Exact duplicate groups on an arbitrary key column: (key, n) with n>1.
     *
@@ -245,6 +248,27 @@ object Dedup {
         bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .groupBy(col("a"), col("b")).agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** Benchmark decontamination screening: per-doc count of distinct word
+    * n-grams shared with a benchmark/eval corpus (the standard
+    * pretraining-data hygiene step — docs overlapping an eval set leak test
+    * answers into training). Benchmark suites are tiny relative to the
+    * corpus, so their distinct-shingle set rides a broadcast hash join: the
+    * corpus side streams map-side with NO shuffle of document data; the only
+    * shuffle is the per-doc overlap count aggregation (partial map-side
+    * combine, (id, long) rows).
+    *
+    * @return (id, n_overlap) for docs with >= minOverlap shared n-grams.
+    */
+  def contaminationOverlap(docs: DataFrame, id: Column, text: Column,
+      bench: DataFrame, benchText: Column, n: Int = 3,
+      minOverlap: Int = 1): DataFrame = {
+    val benchGrams = bench.select(explode(shingles(benchText, n)).as("g")).distinct()
+    val docGrams = docs.select(id.as("id"), explode(shingles(text, n)).as("g"))
+    docGrams.join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_overlap"))
+      .where(col("n_overlap") >= minOverlap)
   }
 
   /** Duplicate-cluster resolution: connected components over an undirected

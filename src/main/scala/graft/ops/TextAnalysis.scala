@@ -76,6 +76,28 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Corpus vocabulary top-k: term frequencies over whitespace tokens,
+    * ordered (count desc, term asc) for a deterministic cut. Catalyst gives
+    * the two-phase (partial map-side combine) aggregate for free; the final
+    * top-k is a TakeOrdered over the term-count table, never a global sort
+    * of the corpus.
+    */
+  def topKTerms(df: DataFrame, text: Column, k: Int = 100): DataFrame =
+    df.select(explode(filter(Dedup.tokens(text), t => length(t) > 0)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(k)
+
+  /** Intra-document repetition stats (Gopher-style quality signal): total
+    * vs distinct word n-grams — a high n_grams/n_distinct ratio marks
+    * boilerplate/spam. Integer counts so the oracle check is exact; the
+    * caller derives the ratio.
+    */
+  def repetitionStats(text: Column, n: Int = 3): Column = {
+    val grams = Dedup.rawShingles(text, n)
+    struct(size(grams).as("n_grams"),
+      size(array_distinct(grams)).as("n_distinct"))
+  }
+
   /** Winnowing-style document fingerprint: k-gram rolling hashes, window
     * minima, distinct — robust to small edits. Composed from higher-order
     * functions; `size(array_intersect(fp_a, fp_b))` estimates overlap.

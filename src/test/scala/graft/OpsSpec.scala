@@ -42,6 +42,28 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("topKTerms and repetitionStats on a hand corpus") {
+    val df = Seq("a b a b a", "c c c c").toDF("t")
+    val top = TextAnalysis.topKTerms(df, $"t", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq == Seq(("c", 4L), ("a", 3L)))
+    val rep = df.select(TextAnalysis.repetitionStats($"t", 2).as("r"))
+      .select($"r.n_grams", $"r.n_distinct")
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(rep.toSeq == Seq((4, 2), (3, 1)))
+  }
+
+  test("contaminationOverlap flags docs sharing n-grams with a benchmark") {
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated words here nothing shared")).toDF("id", "t")
+    val bench = Seq("the quick brown fox ran").toDF("t")
+    val out = Dedup.contaminationOverlap(corpus, $"id", $"t", bench, $"t",
+        n = 3, minOverlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // shared: "the quick brown", "quick brown fox"
+    assert(out == Map(1L -> 2L))
+  }
+
   test("minhash LSH finds injected near-duplicates and nothing else") {
     val mutated = docs.where($"doc_id" % 20 === 0)
       .select(($"doc_id" + 1000000).as("doc_id"), concat($"text", lit(" zz")).as("text"))
