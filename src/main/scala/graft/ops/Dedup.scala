@@ -277,14 +277,18 @@ object Dedup {
     * (a~b, b~c) collapse into one cluster with a canonical id (the minimum
     * member). The standard keep-one-per-cluster step of a dedup pipeline.
     *
-    * Algorithm: iterative min-label propagation — each round is one join +
-    * one min-aggregation over (id, label) longs, converging in <= graph
-    * diameter rounds. Near-dup graphs are overwhelmingly cliques/stars
-    * (diameter ~2), so this is 2-4 shuffle rounds in practice; `maxIters`
-    * bounds adversarial chains and the op fails loudly rather than return
-    * half-merged clusters. Edge/label tables stay two-long-column thin
-    * through every shuffle, and each round's result is persisted so lineage
-    * does not grow (the previous round is unpersisted after use).
+    * Algorithm: min-label propagation with pointer doubling — each round
+    * takes the min over (self, neighbors' labels, label-of-label), so chains
+    * collapse in O(log diameter) rounds, not O(diameter) (a 1000-link chain
+    * — pathological but possible under transitive near-dup merging —
+    * converges in ~10 rounds). Every shuffle carries thin (long, long)
+    * rows; the convergence flag rides the same aggregation that produces
+    * the round's labels (the old label is carried through the union, so no
+    * second comparison job runs per round). Each round's result is
+    * materialized with `localCheckpoint` — the self-join + two unions grow
+    * the LOGICAL plan ~4x per round, so without lineage truncation the plan
+    * tree (not the data) explodes combinatorially (measured: driver OOM in
+    * explainString after ~6 rounds).
     *
     * @return (id, cluster) — one row per node that appears in any pair.
     */
@@ -301,13 +305,23 @@ object Dedup {
     while (!converged && iter < maxIters) {
       val neighbor = edges.join(labels.withColumnRenamed("id", "y"), Seq("y"))
         .select(col("x").as("id"), col("label"))
-      val next = labels.unionByName(neighbor)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .where(col("label") =!= col("old")).limit(1).count()
+      // pointer doubling: v also adopts the label of its current label node
+      // (labels always point at graph nodes, so the self-join resolves)
+      val hop = labels.as("l")
+        .join(labels.select(col("id").as("label"), col("label").as("l2")), Seq("label"))
+        .select(col("id"), col("l2").as("label"))
+      // old label rides as min(old): exactly one row per id carries it
+      // eager localCheckpoint = the round's one materializing action; it
+      // also truncates lineage so the per-round plan stays constant-size
+      val next = labels.select(col("id"), col("label"), col("label").as("old"))
+        .unionByName(neighbor.withColumn("old", lit(Long.MaxValue)))
+        .unionByName(hop.withColumn("old", lit(Long.MaxValue)))
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), min(col("old")).as("old"))
+        .localCheckpoint()
+      val changed = next.where(col("label") =!= col("old")).limit(1).count()
       labels.unpersist()
-      labels = next
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1
     }

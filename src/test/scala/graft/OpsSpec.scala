@@ -33,13 +33,17 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("dupClusters resolves transitive chains into min-labeled components") {
-    // chain 1-2-3, pair 10-11, triangle 20-21-22
-    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
-      .toDF("a", "b")
-    val out = Dedup.dupClusters(pairs)
+    // chain 1-2-3, pair 10-11, triangle 20-21-22, long chain 30..45
+    // (the 16-link chain exercises pointer doubling: O(log d) rounds)
+    val chain = (30L until 45L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (20L, 22L)) ++ chain).toDF("a", "b")
+    val out = Dedup.dupClusters(pairs, maxIters = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L) ++
+      (30L to 45L).map(_ -> 30L).toMap
+    assert(out == expected)
   }
 
   test("topKTerms and repetitionStats on a hand corpus") {
