@@ -294,9 +294,14 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col("a").cast("long").as("x"), col("b").cast("long").as("y"))
-      .unionByName(pairs.select(col("b").cast("long").as("x"), col("a").cast("long").as("y")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the pair list ONCE: the symmetric edge view reads it twice
+    // (union of both directions), and without this the caller's whole
+    // candidate-generation pipeline (e.g. the minhash LSH plan) executes
+    // twice just to build the edges
+    val p = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+      .localCheckpoint()
+    val edges = p.select(col("u").as("x"), col("v").as("y"))
+      .unionByName(p.select(col("v").as("x"), col("u").as("y")))
     var labels = edges.select(col("x").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -325,7 +330,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
+    p.unpersist()
     require(converged, s"dupClusters: not converged after $maxIters rounds " +
       "(pathological chain graph — raise maxIters)")
     labels.select(col("id"), col("label").as("cluster"))

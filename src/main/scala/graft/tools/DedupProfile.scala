@@ -31,7 +31,11 @@ object DedupProfile {
     val n3 = time("ngram prefix-filtered") {
       Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"), threshold = 0.8).count()
     }
-    println(s"pairs: $n1 / $n2 / $n3")
+    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"), threshold = 0.8,
+      inputPartitions = 32).select(col("a"), col("b"))
+    val n4 = time("pairs precomputed") { pairs.count() }
+    val n5 = time("clusters") { Dedup.dupClusters(pairs).count() }
+    println(s"pairs: $n1 / $n2 / $n3 / $n4 / clusters $n5")
     spark.stop()
   }
 }

@@ -68,6 +68,17 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out == Map(1L -> 2L))
   }
 
+  test("contaminationOverlap broadcasts the benchmark side (no corpus shuffle)") {
+    val plan = Dedup.contaminationOverlap(docs, $"doc_id", $"text",
+      docs.where($"doc_id" % 50 === 0), $"text").queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast join:\n$s")
+    // the only exchange is the per-doc count aggregation (plus the broadcast
+    // build side); the exploded corpus stream must not be hash-repartitioned
+    // before the join
+    assert(!s.contains("SortMergeJoin"), "corpus side must not sort-merge")
+  }
+
   test("minhash LSH finds injected near-duplicates and nothing else") {
     val mutated = docs.where($"doc_id" % 20 === 0)
       .select(($"doc_id" + 1000000).as("doc_id"), concat($"text", lit(" zz")).as("text"))
