@@ -148,10 +148,20 @@ object MediaCodec {
       if (compression != 0) return Left(s"bmp: unsupported compression $compression")
       val topDown = rawHeight < 0
       val height = math.abs(rawHeight)
-      val rowBytes = (width * 3 + 3) & ~3
-      if (dataOffset < 0 || dataOffset.toLong + rowBytes.toLong * height > bytes.length)
+      // hostile-header guard: validate dimensions with LONG arithmetic
+      // before any allocation — width*3 or width*height overflowing Int
+      // would otherwise slip past the overrun check and throw (the
+      // decode-error policy is typed Lefts, never exceptions). The payload
+      // itself bounds the plausible pixel count: > bytes.length pixels
+      // cannot fit at 3 bytes each.
+      val rowBytesL = (width.toLong * 3 + 3) & ~3L
+      val pixelsL = width.toLong * height.toLong
+      if (pixelsL > bytes.length.toLong || rowBytesL > Int.MaxValue)
+        return Left(s"bmp: implausible dimensions ${width}x$height for ${bytes.length} bytes")
+      val rowBytes = rowBytesL.toInt
+      if (dataOffset < 0 || dataOffset.toLong + rowBytesL * height > bytes.length)
         return Left("bmp: pixel data overruns buffer")
-      val rgb = new Array[Int](width * height)
+      val rgb = new Array[Int](pixelsL.toInt)
       var y = 0
       while (y < height) {
         val srcRow = if (topDown) y else height - 1 - y

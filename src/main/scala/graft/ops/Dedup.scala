@@ -187,7 +187,11 @@ object Dedup {
     val prefix = inv.join(dfreq, Seq("shingle"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
-      .where(col("rn") <= col("len") - ceil(lit(threshold) * col("len")) + 1)
+      // the 1e-9 inside the ceil guards FP rounding when threshold*len is
+      // mathematically integral: without it ceil can land one too high and
+      // shorten the prefix below the exactness bound (a pair at exactly the
+      // threshold could then be missed for unlucky thresholds)
+      .where(col("rn") <= col("len") - ceil(lit(threshold) * col("len") - lit(1e-9)) + 1)
       .select(col("shingle"), col("id"))
     val candidates = prefix.join(prefix.withColumnRenamed("id", "b"), Seq("shingle"))
       .where(col("id") < col("b"))
@@ -221,33 +225,88 @@ object Dedup {
     * buckets — sub-quadratic at 10^12 docs, vs the 16-bit / 65k-bucket
     * single-chunk scheme this replaces). For large radii (>= 6) the key
     * shrinks below ~16 bits and MinHash is the better tool.
+    *
+    * Identical signatures are collapsed BEFORE any join (one row per
+    * distinct sig), so identical-boilerplate mass cannot blow up the
+    * candidate join, and residual distinct-sig buckets are capped at
+    * `maxBucket` ([[simhashSigPairs]]). The emitted PAIR LIST is still
+    * quadratic inside a true duplicate group — that is the contract;
+    * feed [[dupClusters]] when clusters, not pairs, are the goal.
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 3, cleanBlocks: Int = 2,
+      maxHamming: Int = 3, cleanBlocks: Int = 2, maxBucket: Int = 256,
       inputPartitions: Int = 0): DataFrame = {
     require(maxHamming >= 1 && cleanBlocks >= 1)
+    require(maxHamming + cleanBlocks <= 64, "too many blocks")
+    val in = if (inputPartitions > 0) df.repartition(inputPartitions) else df
+    val withSig = in.select(id.as("id"), simhash64(tokens(text)).as("sig"))
+    // PRE-COLLAPSE identical signatures first: mass-duplicated boilerplate —
+    // the 100 TB phenomenon where millions of docs share one simhash — now
+    // contributes ONE row per distinct signature to the table joins, so the
+    // candidate join can never go quadratic in the duplicate count. The
+    // hamming-0 pairs inside each group come for free from the collapse.
+    val sigGroups = withSig.groupBy(col("sig"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    val zeroPairs = sigGroups.where(size(col("ids")) > 1)
+      .select(explode(flatten(
+        transform(sequence(lit(0), size(col("ids")) - 2), i =>
+          transform(sequence(i + 1, size(col("ids")) - 1), j =>
+            struct(element_at(col("ids"), i + 1).as("a"),
+              element_at(col("ids"), j + 1).as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), lit(0).as("hamming"))
+    // cross-signature candidates over DISTINCT sigs only, capped buckets
+    val sigPairs = simhashSigPairs(sigGroups.select(col("sig")),
+      maxHamming, cleanBlocks, maxBucket)
+    val crossPairs = sigPairs
+      .join(sigGroups.select(col("sig").as("siga"), col("ids").as("idsa")), Seq("siga"))
+      .join(sigGroups.select(col("sig").as("sigb"), col("ids").as("idsb")), Seq("sigb"))
+      .select(col("hamming"), explode(flatten(
+        transform(col("idsa"), a => transform(col("idsb"), b =>
+          struct(least(a, b).as("a"), greatest(a, b).as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("hamming"))
+    zeroPairs.unionByName(crossPairs)
+  }
+
+  /** Cross-signature candidate pairs for [[simhashPairs]]: Manku block keys
+    * over a DISTINCT-signature table, bucket members aggregated per table
+    * key and capped at `maxBucket` (deterministic by signature order — the
+    * [[minhashPairs]] cap, same audit tradeoff), i<j expansion with the
+    * hamming filter applied intra-row, then deduped across tables. Exposed
+    * `private[graft]` so the mass-duplicate test can assert the candidate
+    * volume stays sub-quadratic.
+    *
+    * @param sigs one column `sig` (distinct 64-bit signatures)
+    * @return (siga, sigb, hamming) with 1 <= hamming <= maxHamming
+    */
+  private[graft] def simhashSigPairs(sigs: DataFrame, maxHamming: Int,
+      cleanBlocks: Int, maxBucket: Int): DataFrame = {
     val m = maxHamming + cleanBlocks
-    require(m <= 64, "too many blocks")
     // block b covers bits [64*b/m, 64*(b+1)/m)
     def blockVal(sig: Column, b: Int): Column = {
       val loBit = 64 * b / m; val hiBit = 64 * (b + 1) / m
       shiftrightunsigned(sig, loBit).bitwiseAND(lit((1L << (hiBit - loBit)) - 1))
     }
     val tables = (0 until m).combinations(cleanBlocks).toSeq
-    val in = if (inputPartitions > 0) df.repartition(inputPartitions) else df
-    val withSig = in.select(id.as("id"), simhash64(tokens(text)).as("sig"))
-    val keyed = withSig.select(col("id"), col("sig"),
+    val keyed = sigs.select(col("sig"),
       posexplode(array(tables.zipWithIndex.map { case (blocks, t) =>
         xxhash64(lit(t) +: blocks.map(b => blockVal(col("sig"), b)): _*)
       }: _*)).as(Seq("table", "tk")))
-    val l = keyed.select(col("table"), col("tk"), col("id").as("a"), col("sig").as("siga"))
-    val r = keyed.select(col("table"), col("tk"), col("id").as("b"), col("sig").as("sigb"))
-    l.join(r, Seq("table", "tk"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        bit_count(col("siga").bitwiseXOR(col("sigb"))).as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .groupBy(col("a"), col("b")).agg(min(col("hamming")).as("hamming"))
+    val buckets = keyed.groupBy(col("table"), col("tk"))
+      .agg(slice(sort_array(collect_list(col("sig"))), 1, maxBucket).as("sigs"))
+      .where(size(col("sigs")) > 1)
+    buckets.select(explode(flatten(
+        transform(sequence(lit(0), size(col("sigs")) - 2), i =>
+          filter(
+            transform(sequence(i + 1, size(col("sigs")) - 1), j => {
+              val sa = element_at(col("sigs"), i + 1)
+              val sb = element_at(col("sigs"), j + 1)
+              struct(sa.as("siga"), sb.as("sigb"),
+                bit_count(sa.bitwiseXOR(sb)).as("hamming"))
+            }),
+            p => p.getField("hamming") <= maxHamming)))).as("p"))
+      .select(col("p.siga").as("siga"), col("p.sigb").as("sigb"),
+        col("p.hamming").as("hamming"))
+      .groupBy(col("siga"), col("sigb")).agg(min(col("hamming")).as("hamming"))
   }
 
   /** Benchmark decontamination screening: per-doc count of distinct word
@@ -282,18 +341,33 @@ object Dedup {
     * collapse in O(log diameter) rounds, not O(diameter) (a 1000-link chain
     * — pathological but possible under transitive near-dup merging —
     * converges in ~10 rounds). Every shuffle carries thin (long, long)
-    * rows; the convergence flag rides the same aggregation that produces
-    * the round's labels (the old label is carried through the union, so no
-    * second comparison job runs per round). Each round's result is
-    * materialized with `localCheckpoint` — the self-join + two unions grow
-    * the LOGICAL plan ~4x per round, so without lineage truncation the plan
-    * tree (not the data) explodes combinatorially (measured: driver OOM in
-    * explainString after ~6 rounds).
+    * rows, and each round runs exactly ONE job: the old label rides the
+    * label aggregation as min(old), the round's result is marked for
+    * checkpoint lazily, and the changed-row count is the action that
+    * materializes it — convergence detection costs no second job. (The
+    * first round also skips the pointer-doubling self-join: labels start as
+    * identity, so label-of-label is a no-op there.) Checkpointing truncates
+    * lineage so the per-round plan stays constant-size — the self-join +
+    * two unions otherwise grow the LOGICAL plan ~4x per round (measured:
+    * driver OOM in explainString after ~6 rounds).
+    *
+    * Fault tolerance at cluster scale: `localCheckpoint` stores blocks on
+    * executors — an executor loss mid-run aborts the job because lineage is
+    * truncated. For long-running cluster jobs pass `checkpointDir` (HDFS/
+    * object-store path): rounds then use RELIABLE checkpointing, surviving
+    * executor loss at the cost of one extra write+read of the (id, label)
+    * table per round — negligible against the candidate-generation stages
+    * that feed this operator.
     *
     * @return (id, cluster) — one row per node that appears in any pair.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def mark(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     // materialize the pair list ONCE: the symmetric edge view reads it twice
     // (union of both directions), and without this the caller's whole
     // candidate-generation pipeline (e.g. the minhash LSH plan) executes
@@ -311,20 +385,26 @@ object Dedup {
       val neighbor = edges.join(labels.withColumnRenamed("id", "y"), Seq("y"))
         .select(col("x").as("id"), col("label"))
       // pointer doubling: v also adopts the label of its current label node
-      // (labels always point at graph nodes, so the self-join resolves)
-      val hop = labels.as("l")
-        .join(labels.select(col("id").as("label"), col("label").as("l2")), Seq("label"))
-        .select(col("id"), col("l2").as("label"))
+      // (labels always point at graph nodes, so the self-join resolves);
+      // round 1 skips it — labels are identity, the hop adds nothing
+      val contributions =
+        if (iter == 0) Seq(neighbor)
+        else {
+          val hop = labels.as("l")
+            .join(labels.select(col("id").as("label"), col("label").as("l2")), Seq("label"))
+            .select(col("id"), col("l2").as("label"))
+          Seq(neighbor, hop)
+        }
       // old label rides as min(old): exactly one row per id carries it
-      // eager localCheckpoint = the round's one materializing action; it
-      // also truncates lineage so the per-round plan stays constant-size
-      val next = labels.select(col("id"), col("label"), col("label").as("old"))
-        .unionByName(neighbor.withColumn("old", lit(Long.MaxValue)))
-        .unionByName(hop.withColumn("old", lit(Long.MaxValue)))
+      val next = mark(contributions
+        .map(_.withColumn("old", lit(Long.MaxValue)))
+        .foldLeft(labels.select(col("id"), col("label"), col("label").as("old")))(
+          _ unionByName _)
         .groupBy(col("id"))
-        .agg(min(col("label")).as("label"), min(col("old")).as("old"))
-        .localCheckpoint()
-      val changed = next.where(col("label") =!= col("old")).limit(1).count()
+        .agg(min(col("label")).as("label"), min(col("old")).as("old")))
+      // the ONE action of the round: computes the changed count AND
+      // materializes the (lazily marked) checkpoint as a side effect
+      val changed = next.where(col("label") =!= col("old")).count()
       labels.unpersist()
       labels = next.select(col("id"), col("label"))
       converged = changed == 0
@@ -338,7 +418,19 @@ object Dedup {
 
   /** Embedding near-dup pairs: random-hyperplane LSH (deterministic in-plan
     * hash-derived planes, any dimensionality — see [[Similarity.bandKeys]])
-    * -> bucket join -> exact cosine verification.
+    * -> capped band buckets -> exact cosine verification, mirroring the
+    * [[minhashPairs]] scale shape exactly:
+    *
+    *   - the band shuffle carries only (band, bucket-hash, id) — the vector
+    *     never rides the x`bands` fan-out (an earlier formulation shuffled
+    *     the full embedding per band and recomputed cosine once per band
+    *     collision);
+    *   - buckets are capped at `maxBucket` members (deterministic by id
+    *     order) so mass-near-identical embeddings — clone farms, all-zero
+    *     rows — cannot go quadratic; audit with [[embeddingBucketStats]];
+    *   - candidate pairs are deduped across bands BEFORE any vector work,
+    *     then both vectors are fetched with ONE extra scan + one
+    *     candidate-sized shuffle and cosine is computed once per pair.
     *
     * Default banding (16 bands x 16 bits) keeps 65k buckets per band —
     * sized for ~0.95-cosine recall ~0.95 while staying sub-quadratic at
@@ -347,16 +439,53 @@ object Dedup {
     */
   def embeddingCosinePairs(df: DataFrame, id: Column, vec: Column,
       minCosine: Double = 0.95, bands: Int = 16, rowsPerBand: Int = 16,
-      dims: Int = 64): DataFrame = {
-    val keys = Similarity.bandKeys(vec, bands, rowsPerBand, dims)
-    val buckets = df.select(id.as("id"), vec.as("v"),
-      posexplode(keys).as(Seq("band", "bh")))
-    val l = buckets.select(col("band"), col("bh"), col("id").as("a"), col("v").as("va"))
-    val r = buckets.select(col("band"), col("bh"), col("id").as("b"), col("v").as("vb"))
-    l.join(r, Seq("band", "bh"))
-      .where(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(first(cosineSim(col("va"), col("vb"))).as("cosine"))
+      dims: Int = 64, maxBucket: Int = 256, inputPartitions: Int = 0): DataFrame = {
+    val in = if (inputPartitions > 0) df.repartition(inputPartitions) else df
+    val withVec = in.select(id.as("id"), vec.as("v"))
+    // band rows: (band, bh, id) only — no vector column in this exchange
+    // (asserted by a plan test in OpsSpec)
+    val bandRows = withVec.select(col("id"),
+      posexplode(Similarity.bandKeys(col("v"), bands, rowsPerBand, dims))
+        .as(Seq("band", "bh")))
+    val buckets = bandRows.groupBy(col("band"), col("bh"))
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .where(size(col("ids")) > 1)
+    // intra-bucket i<j expansion (ids sorted, so a < b for free), deduped
+    // across bands before any vector is touched
+    val candidates = buckets.select(explode(flatten(
+        transform(sequence(lit(0), size(col("ids")) - 2), i =>
+          transform(sequence(i + 1, size(col("ids")) - 1), j =>
+            struct(element_at(col("ids"), i + 1).as("a"),
+              element_at(col("ids"), j + 1).as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(lit(1))
+      .select(struct(col("a"), col("b")).as("p"))
+    // exact verify: ONE scan of the vector table joined to both pair sides,
+    // cosine computed once per surviving pair
+    val sides = candidates
+      .select(col("p"), explode(array(col("p.a"), col("p.b"))).as("id"))
+    sides.join(withVec, Seq("id"))
+      .groupBy(col("p"))
+      .agg(min_by(col("v"), col("id")).as("va"), max_by(col("v"), col("id")).as("vb"),
+        count(lit(1)).as("nsides"))
+      .where(col("nsides") === 2)
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        cosineSim(col("va"), col("vb")).as("cosine"))
       .where(col("cosine") >= minCosine)
   }
+
+  /** Band-bucket occupancy audit for [[embeddingCosinePairs]] (the
+    * [[minhashBucketStats]] analog): per-bucket member counts above
+    * `minSize`, descending — run before choosing `maxBucket` on a new
+    * embedding corpus.
+    */
+  def embeddingBucketStats(df: DataFrame, id: Column, vec: Column,
+      bands: Int = 16, rowsPerBand: Int = 16, dims: Int = 64,
+      minSize: Long = 2): DataFrame =
+    df.select(id.as("id"),
+        posexplode(Similarity.bandKeys(vec, bands, rowsPerBand, dims))
+          .as(Seq("band", "bh")))
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minSize)
+      .orderBy(col("n").desc)
 }

@@ -83,6 +83,8 @@ object Ivf {
       .select(col("v"))
       .collect()
       .map(r => normalize(r.getSeq[Float](0).toArray))
+    require(seeds.length == k,
+      s"ivf: need >= $k training vectors, got ${seeds.length}")
     var model = Model(seeds)
     val data = df.select(vec.as("v"))
     for (_ <- 0 until iters) {

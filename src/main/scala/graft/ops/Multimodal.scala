@@ -108,7 +108,10 @@ object Multimodal {
     */
   def audioFeatures(assets: Dataset[Asset]): DataFrame = {
     import assets.sparkSession.implicits._
-    assets.filter(_.kind == "audio").mapPartitions { it =>
+    // Column predicate (NOT a typed lambda): pushes to the scan, so
+    // non-audio rows never deserialize their payload bytes (plan-tested in
+    // MultimodalStreamingSpec).
+    assets.where(col("kind") === "audio").mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         batch.iterator.flatMap { a =>
           WavCodec.decode(a.bytes).toOption.map { w =>
@@ -134,7 +137,7 @@ object Multimodal {
     */
   def imageFeatures(assets: Dataset[Asset]): DataFrame = {
     import assets.sparkSession.implicits._
-    assets.filter(_.kind == "image").mapPartitions { it =>
+    assets.where(col("kind") === "image").mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         batch.iterator.flatMap { a =>
           BmpCodec.decode(a.bytes).toOption.map { img =>
@@ -160,7 +163,7 @@ object Multimodal {
   def videoFrameFeatures(assets: Dataset[Asset], everyNth: Int = 2): DataFrame = {
     import assets.sparkSession.implicits._
     require(everyNth >= 1)
-    assets.filter(_.kind == "video").mapPartitions { it =>
+    assets.where(col("kind") === "video").mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         batch.iterator.flatMap { a =>
           (for {

@@ -42,9 +42,16 @@ object Similarity {
   /** LSH-bucketed top-k: prefilter to vectors sharing >=1 band bucket with
     * the query, then exact cosine re-rank. Approximate — recall measured in
     * OpsSpec against the brute-force baseline.
+    *
+    * Defaults are scale-safe (rowsPerBand=16 -> 65k buckets per band, the
+    * sizing the bucket-occupancy note above mandates at corpus scale;
+    * bands=32 buys recall back). On toy corpora — thousands of rows, where
+    * even moderately-similar vectors must collide to be found — pass a
+    * coarser banding explicitly (e.g. bands=8, rowsPerBand=4, as the
+    * OpsSpec recall test does on 500 near-orthogonal vectors).
     */
   def annTopKCosine(df: DataFrame, id: Column, vec: Column, query: Seq[Float],
-      k: Int, bands: Int = 8, rowsPerBand: Int = 4, dims: Int = 64): DataFrame = {
+      k: Int, bands: Int = 32, rowsPerBand: Int = 16, dims: Int = 64): DataFrame = {
     val keys = bandKeys(vec, bands, rowsPerBand, dims)
     val data = df.select(id.as("id"), vec.as("v"), explode(keys).as("bh"))
     val qKeys = bandKeys(typedLit(query), bands, rowsPerBand, dims)

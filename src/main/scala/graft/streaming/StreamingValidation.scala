@@ -93,9 +93,15 @@ object StreamingValidation {
               }
             }
             state.update(SeenKeys(seen.toList))
-            if (maxTs != Long.MinValue) // expire ttl past the newest event,
-              state.setTimeoutTimestamp( // never at/behind the watermark
-                math.max(maxTs + math.max(ttlMs, 1L), state.getCurrentWatermarkMs() + 1))
+            // ALWAYS set a timeout: a batch whose rows all carry null ts
+            // would otherwise leave this key's state with no expiry — an
+            // unbounded state leak. Null-ts rows fall back to the current
+            // watermark + ttl; expiry is never at/behind the watermark.
+            val expiryBase =
+              if (maxTs != Long.MinValue) maxTs else state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+              math.max(expiryBase + math.max(ttlMs, 1L),
+                state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
       }

@@ -123,6 +123,79 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(expected.subsetOf(pairs))
   }
 
+  test("band exchanges carry keys only: no vector / no shingle payload") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, StringType}
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def bandExchanges(df: org.apache.spark.sql.DataFrame) = {
+        val ex = df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec
+              if e.outputPartitioning.toString.contains("band") => e
+        }
+        assert(ex.nonEmpty, "expected a band-keyed exchange in the plan")
+        ex
+      }
+      // embedding LSH: the x`bands` fan-out must not carry the embedding
+      bandExchanges(Dedup.embeddingCosinePairs(emb, $"vec_id", $"embedding",
+          minCosine = 0.9)).foreach { e =>
+        val vecs = e.output.filter(_.dataType match {
+          case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+          case _                                                  => false
+        })
+        assert(vecs.isEmpty, s"vector column rides the band exchange: ${e.output}")
+      }
+      // minhash LSH: the x`bands` fan-out must not carry the shingle arrays
+      bandExchanges(Dedup.minhashPairs(docs, $"doc_id", $"text")).foreach { e =>
+        val shingleCols = e.output.filter(_.dataType match {
+          case ArrayType(StringType, _) => true
+          case _                        => false
+        })
+        assert(shingleCols.isEmpty, s"shingles ride the band exchange: ${e.output}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("simhash mass-duplicate boilerplate keeps candidate volume sub-quadratic") {
+    // 400 + 400 identical docs (two boilerplate farms) + a few unique ones:
+    // the adversarial 100 TB shape — identical sigs land in ONE bucket in
+    // every table, so an uncollapsed self-join would generate ~C(800,2)
+    // candidate rows through the shuffle
+    val boiler = (0L until 400L).map(i =>
+      (i, "the same boilerplate text repeated everywhere all over this corpus"))
+    val boiler2 = (1000L until 1400L).map(i =>
+      (i, "another mass duplicated chunk of text with its own stable signature"))
+    val unique = (2000L until 2005L).map(i =>
+      (i, s"genuinely distinct document number $i about topic ${i * 37}"))
+    val df = (boiler ++ boiler2 ++ unique).toDF("doc_id", "text")
+    val sigs = df.select(simhash64(Dedup.tokens($"text")).as("sig")).distinct()
+    val nSigs = sigs.count()
+    assert(nSigs <= 7, s"identical texts must collapse to one sig each, got $nSigs")
+    // cross-sig candidate generation sees DISTINCT sigs only: its volume is
+    // bounded by the distinct-sig count, independent of the 800 duplicates
+    val cands = Dedup.simhashSigPairs(sigs, maxHamming = 3, cleanBlocks = 2,
+      maxBucket = 256).count()
+    assert(cands <= nSigs * (nSigs - 1) / 2)
+    // ...while the emitted pair list still carries the full intra-group truth
+    val pairs = Dedup.simhashPairs(df, $"doc_id", $"text")
+    assert(pairs.where($"hamming" === 0).count() >= 2L * (400L * 399 / 2))
+  }
+
+  test("dupClusters with a reliable checkpoint dir matches localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val chain = (30L until 45L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++ chain).toDF("a", "b")
+    val out = Dedup.dupClusters(pairs, maxIters = 8, checkpointDir = Some(dir.toString))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L) ++
+      (30L to 45L).map(_ -> 30L).toMap
+    assert(out == expected)
+    // reliable (non-executor-volatile) state actually hit the directory
+    val wrote = java.nio.file.Files.walk(dir).filter(_.toFile.isFile).count()
+    assert(wrote > 0, "no reliable checkpoint files written")
+  }
+
   test("brute-force cosine top-k is deterministic and self-excludes correctly") {
     val q = emb.where($"vec_id" === 0).select($"embedding").collect()
       .head.getSeq[Float](0)
@@ -147,7 +220,13 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .head.getSeq[Float](0)
     val exact = Similarity.topKCosine(emb, $"vec_id", $"embedding", q, 10)
       .collect().map(_.getLong(0)).toSet
-    val approx = Similarity.annTopKCosine(emb, $"vec_id", $"embedding", q, 10)
+    // toy banding, passed EXPLICITLY: 500 near-orthogonal vectors need
+    // coarse buckets for moderately-similar vectors to collide at all. The
+    // defaults (bands=32, rowsPerBand=16) are sized for corpus-scale bucket
+    // occupancy, where this corpus is far below the collision regime — see
+    // the annTopKCosine scaladoc.
+    val approx = Similarity.annTopKCosine(emb, $"vec_id", $"embedding", q, 10,
+        bands = 8, rowsPerBand = 4)
       .collect().map(_.getLong(0)).toSet
     assert(approx.intersect(exact).size >= 5, s"recall too low: $approx vs $exact")
   }
