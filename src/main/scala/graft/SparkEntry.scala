@@ -146,6 +146,14 @@ object SparkEntry {
         col("value"), lo = 0.0, hi = 500.0, buckets = 100)
         .select(round(col("ks"), 6).as("ks"))
     }),
+    // span-kind frequency histogram over the synthetic corpus (the input to
+    // kind-frequency drift); counts are closed-form in doc_id defect class
+    "drift_kind_freq" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id".cast("long")).as[java.lang.Long]
+      Drift.kindFrequencies(Synth.corpusFromIds(ids).toDF())
+    }),
     // exact dedup over a corpus with injected duplicates (every 10th doc)
     "dedup_exact_docs" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -244,8 +252,11 @@ object SparkEntry {
           col("m.n_digits").cast("long").as("n_digits"),
           col("m.n_stopwords").cast("long").as("n_stopwords"), col("quality_pass"))
     }),
-    // language-id heuristic distribution (rows-only: the argmax tie-break is
-    // engine-defined; per-language behavior is unit-tested in OpsSpec)
+    // language-id heuristic distribution. Oracle-checked: the marker-word
+    // scores are plain SQL and the argmax tie-break is DEFINED (max score,
+    // then lexicographically-largest language code — Spark struct greatest
+    // semantics), so DuckDB reproduces it with a (score DESC, lang DESC)
+    // window; zero hits -> 'und'
     "text_langid_dist" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       docs.select(TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -427,6 +438,26 @@ object SparkEntry {
           FROM h)
         SELECT round(max(abs(cdf_cur - cdf_base)), 6) AS ks FROM c
       """.trim,
+      // closed-form span-kind counts per defect class (Synth.doc layout)
+      "drift_kind_freq" -> """
+        SELECT kind, freq FROM (
+          SELECT 'LDR' AS kind, count(*)::BIGINT AS freq FROM documents
+          UNION ALL SELECT '001', (count(*) + count(*) FILTER (WHERE doc_id % 9 = 1))::BIGINT FROM documents
+          UNION ALL SELECT '006', (count(*) FILTER (WHERE doc_id % 9 = 4))::BIGINT FROM documents
+          UNION ALL SELECT '008', count(*)::BIGINT FROM documents
+          UNION ALL SELECT '010', (count(*) FILTER (WHERE doc_id % 9 = 7))::BIGINT FROM documents
+          UNION ALL SELECT '020', (count(*) FILTER (WHERE doc_id % 9 = 6))::BIGINT FROM documents
+          UNION ALL SELECT '100', (count(*) FILTER (WHERE doc_id % 9 = 3))::BIGINT FROM documents
+          UNION ALL SELECT '110', (count(*) FILTER (WHERE doc_id % 9 = 3))::BIGINT FROM documents
+          UNION ALL SELECT '050', count(*)::BIGINT FROM documents
+          UNION ALL SELECT '245', (count(*) FILTER (WHERE doc_id % 9 <> 2))::BIGINT FROM documents
+          UNION ALL SELECT '300', count(*)::BIGINT FROM documents
+          UNION ALL SELECT '336', (count(*) FILTER (WHERE doc_id % 9 = 5))::BIGINT FROM documents
+          UNION ALL SELECT '500', count(*)::BIGINT FROM documents
+          UNION ALL SELECT 'media', count(*)::BIGINT FROM documents
+          UNION ALL SELECT '910', count(*)::BIGINT FROM documents
+        ) WHERE freq > 0
+      """.trim,
       "dedup_exact_docs" -> """
         SELECT count(*)::BIGINT AS n_groups, (2 * count(*))::BIGINT AS n_rows_in_groups
         FROM documents WHERE doc_id % 10 = 0
@@ -551,6 +582,28 @@ object SparkEntry {
                 AND n_digits * 4 <= n_chars) AS quality_pass
         FROM m
       """.trim,
+      // langid: per-language marker-word scores, argmax with the engine's
+      // defined tie-break (score DESC, then language code DESC — Spark
+      // struct-greatest semantics); zero hits -> 'und'
+      "text_langid_dist" -> {
+        val scoreSelects = TextAnalysis.LangMarkers.map { case (lang, words) =>
+          val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"SELECT doc_id, '$lang' AS lang, " +
+            s"len(list_filter(toks, t -> list_contains($arr, t))) AS s FROM t"
+        }.mkString("\n          UNION ALL ")
+        s"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents
+        ), scores AS (
+          $scoreSelects
+        ), best AS (
+          SELECT doc_id, s, lang,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang DESC) AS rn
+          FROM scores)
+        SELECT CASE WHEN s = 0 THEN 'und' ELSE lang END AS lang_pred, count(*)::BIGINT AS n
+        FROM best WHERE rn = 1 GROUP BY 1
+        """.trim
+      },
       "text_topk_terms" -> """
         WITH toks AS (
           SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),

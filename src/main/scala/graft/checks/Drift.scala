@@ -57,10 +57,13 @@ object Drift {
       .agg(max(abs(col("cdf_cur") - col("cdf_base"))).as("ks"))
   }
 
-  /** Kind-frequency drift of a docs table vs a baseline snapshot table with
-    * (kind, freq) rows — the span kinds are counted intra-row first
-    * (aggregate over the array), so the only shuffle is the tiny kind
-    * aggregation.
+  /** Kind-frequency histogram of a docs table: (kind, freq) rows, the input
+    * to a PSI/KS drift check against a baseline snapshot. The explode feeds
+    * a partial hash aggregate in the SAME stage (map-side combine), so the
+    * per-span rows never cross the network — the only shuffle is the tiny
+    * (kind, partial-count) aggregation, a handful of rows per partition.
+    * Column pruning keeps every other span field (text, media_ref) out of
+    * the scan: only `spans.kind` is read.
     */
   def kindFrequencies(docs: DataFrame): DataFrame =
     docs

@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.io.MediaCodec._
@@ -47,6 +49,20 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(BmpCodec.decode(ok.take(ok.length - 5)).isLeft) // truncated pixels
     val badBpp = ok.clone(); badBpp(28) = 8
     assert(BmpCodec.decode(badBpp) == Left("bmp: unsupported bpp 8 (24 only)"))
+  }
+
+  test("bmp: hostile header dimensions are Left, never overflow/OOM") {
+    // width*3 and width*height chosen to overflow Int if computed in 32-bit:
+    // the guard must reject via long arithmetic before any allocation
+    def withDims(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.wrap(BmpCodec.encode(testImage(4, 2)).clone())
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(18, w); b.putInt(22, h); b.array()
+    }
+    assert(withDims(0x40000000, 0x40000000).pipe(BmpCodec.decode).isLeft)
+    assert(withDims(0x55555557, 3).pipe(BmpCodec.decode).isLeft) // w*3 overflows
+    assert(withDims(1 << 20, 1 << 20).pipe(BmpCodec.decode).isLeft) // w*h > payload
+    assert(withDims(4, -2).pipe(BmpCodec.decode).isRight) // sane top-down still fine
   }
 
   test("wav: round-trip and chunk-walking across an inserted LIST chunk") {

@@ -100,6 +100,18 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"binary not pruned:\n$plan")
   }
 
+  test("multimodal: kind filters push to the scan (payload bytes prune per kind)") {
+    val dir = Files.createTempDirectory("graft-media-filter").toString
+    Multimodal.syntheticCatalog(spark, 30).write.mode("overwrite").parquet(dir)
+    val assets = spark.read.parquet(dir).as[Multimodal.Asset]
+    val plan = Multimodal.audioFeatures(assets).queryExecution.executedPlan.toString
+    // the kind predicate must reach the parquet scan as a pushed filter —
+    // a typed lambda filter would deserialize every payload first
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(kind,audio)"),
+      s"kind filter not pushed:\n$plan")
+    assert(Multimodal.audioFeatures(assets).count() == 10)
+  }
+
   test("streaming: file-source validation produces the same verdicts as batch") {
     val dir = Files.createTempDirectory("graft-stream").toString
     Synth.corpusDF(spark, 90).write.mode("overwrite").parquet(s"$dir/in")
