@@ -21,6 +21,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `inputDir` is the Iceberg table identifier (e.g. `catalog.db.docs`), not
   * a filesystem path; `manifestDir` is unused — Iceberg's own metadata IS
   * the manifest.
+  *
+  * Runtime-proof status (attempted 2026-08-17): `iceberg-spark-runtime` is
+  * not resolvable in this sandbox — no Iceberg jar under /opt/spark/jars or
+  * the coursier cache (118 cached jars inventoried, all sbt/scalatest
+  * infrastructure), COURSIER_MODE=offline, and direct egress to Maven
+  * Central fails at DNS (curl rc=6, host unreachable). An integration test
+  * against a local warehouse therefore cannot run here; the contract is
+  * exercised through [[ParquetSnapshotIO]] (ResumeSpec: pin, replay,
+  * mid-batch kill), which implements the same three-method surface this
+  * class maps onto Iceberg metadata tables.
   */
 object IcebergTableIO extends TableIO {
 
