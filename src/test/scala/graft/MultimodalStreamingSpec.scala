@@ -150,6 +150,40 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("streaming: near-dup candidates surface within and across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingValidation.nearDupCandidatesStream(
+        docs, col("doc_id"), col("text"), "ts", threshold = 0.8)
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    val base = "the quick brown fox jumps over the lazy dog and runs far away"
+    try {
+      // batch 1: d1 and an intra-batch exact clone d2, plus a distinct doc
+      input.addData(("d1", base, t(0)), ("d2", base, t(1)),
+        ("d3", "completely different text about spark columnar engines here", t(2)))
+      q.processAllAvailable()
+      // batch 2: cross-batch near-clone of d1 (one appended token)
+      input.addData(("d4", base + " tonight", t(3)),
+        ("d5", "another unrelated piece of content entirely its own words", t(4)))
+      q.processAllAvailable()
+      val got = spark.table("neardup_stream")
+        .select("a", "b", "est_jaccard").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      // exact clone: estimate 1.0; candidate events may repeat per band but
+      // always with the same (a, b, est)
+      assert(got.get(("d1", "d2")).contains(1.0), s"got $got")
+      // cross-batch near-clone collides in >= 1 band with a high estimate
+      assert(got.contains(("d1", "d4")) || got.contains(("d2", "d4")), s"got $got")
+      // unrelated docs never pair
+      assert(!got.keySet.exists { case (a, b) => Set(a, b).intersect(Set("d3", "d5")).nonEmpty },
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming: watermarked windowed violation-rate aggregates by hour") {
     import java.sql.Timestamp
     val dir = Files.createTempDirectory("graft-stream2").toString
