@@ -262,11 +262,14 @@ object SparkEntry {
       docs.select(TextAnalysis.langId(col("text")).as("lang_pred"))
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
     }),
-    // simhash near-dup pairs (rows-only: hash family is engine-defined;
-    // recall/precision asserted in OpsSpec). maxHamming=4 -> C(6,2)=15
-    // tables with ~21-bit keys (guaranteed recall, sub-quadratic buckets);
-    // radius 8 on 64-bit simhash needs 45 tables of ~12-bit keys — at that
-    // radius MinHash is the right tool (see Dedup.simhashPairs scaladoc).
+    // simhash near-dup pairs. Oracle-checked: the FNV-1a token hash and the
+    // per-bit majority vote are recomputed in plain DuckDB SQL (modular
+    // HUGEINT multiply), then all pairs at hamming <= maxHamming — full
+    // value parity with the engine's hash family, not just row counts.
+    // maxHamming=4 -> C(6,2)=15 tables with ~21-bit keys (guaranteed
+    // recall, sub-quadratic buckets); radius 8 on 64-bit simhash needs 45
+    // tables of ~12-bit keys — at that radius MinHash is the right tool
+    // (see Dedup.simhashPairs scaladoc).
     "dedup_simhash_pairs" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 4,
@@ -296,7 +299,10 @@ object SparkEntry {
         n = 3, minOverlap = 5)
         .select(col("id").as("doc_id"), col("n_overlap"))
     }),
-    // winnowing fingerprint size per doc (rows-only: hash engine-defined)
+    // winnowing fingerprint size per doc. Oracle-checked: grams use the
+    // FNV-1a hash (graft.expr.Fnv64), so DuckDB recomputes the full
+    // pipeline — order-preserving distinct grams, signed-min window minima,
+    // distinct count — in plain SQL
     "text_fingerprints" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       docs.select(col("doc_id"),
@@ -581,6 +587,78 @@ object SparkEntry {
                (n_tokens BETWEEN 5 AND 100000 AND n_punct * 4 <= n_chars
                 AND n_digits * 4 <= n_chars) AS quality_pass
         FROM m
+      """.trim,
+      // simhash: FNV-1a per token (modular HUGEINT multiply keeps 64-bit
+      // wraparound semantics), per-bit majority vote -> signed 64-bit sig,
+      // then ALL pairs at hamming <= 4. ascii() == UTF-8 byte here because
+      // the documents corpus is ASCII (verified: zero non-ASCII rows).
+      "dedup_simhash_pairs" -> """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents
+        ), th AS (
+          SELECT doc_id, list_reduce(
+            list_prepend(14695981039346656037::UBIGINT,
+              list_transform(generate_series(1, length(tok)), i -> ascii(substr(tok, i, 1))::UBIGINT)),
+            (h, b) -> ((xor(h, b)::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT) AS h
+          FROM toks
+        ), bits AS (
+          SELECT doc_id, b.b,
+                 sum(CASE WHEN ((h >> b.b) & 1::UBIGINT) = 1::UBIGINT THEN 1 ELSE -1 END) AS acc
+          FROM th, (SELECT unnest(generate_series(0, 63)) AS b) b
+          GROUP BY doc_id, b.b
+        ), sigs AS (
+          SELECT doc_id,
+                 sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS usig
+          FROM bits GROUP BY doc_id
+        ), s2 AS (
+          SELECT doc_id,
+                 (CASE WHEN usig >= 9223372036854775808::HUGEINT
+                       THEN usig - 18446744073709551616::HUGEINT ELSE usig END)::BIGINT AS sig
+          FROM sigs
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+        FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 4
+      """.trim,
+      // winnowing fingerprints: FNV-1a gram hashes (same modular-multiply
+      // trick), order-preserving distinct (Spark array_distinct keeps first
+      // occurrence), SIGNED window minima, distinct count
+      "text_fingerprints" -> """
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+        ), g0 AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) >= 5
+              THEN list_transform(generate_series(1, len(toks) - 4),
+                   i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+              ELSE [array_to_string(toks, ' ')] END AS raw
+          FROM t
+        ), g AS (
+          SELECT doc_id,
+            list_transform(
+              list_filter(generate_series(1, len(raw)), i -> list_position(raw, raw[i]) = i),
+              i -> raw[i]) AS grams
+          FROM g0
+        ), h AS (
+          SELECT doc_id,
+            list_transform(
+              list_transform(grams, gram -> list_reduce(
+                list_prepend(14695981039346656037::UBIGINT,
+                  list_transform(generate_series(1, length(gram)), i -> ascii(substr(gram, i, 1))::UBIGINT)),
+                (acc, b) -> ((xor(acc, b)::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT)::HUGEINT),
+              fh -> (CASE WHEN fh >= 9223372036854775808::HUGEINT
+                          THEN fh - 18446744073709551616::HUGEINT ELSE fh END)::BIGINT) AS hs
+          FROM g
+        ), m AS (
+          SELECT doc_id,
+            CASE WHEN len(hs) >= 4
+              THEN list_transform(generate_series(1, len(hs) - 3), i -> list_min(list_slice(hs, i, i + 3)))
+              ELSE [list_min(hs)] END AS mins
+          FROM h
+        )
+        SELECT doc_id, len(list_distinct(mins))::BIGINT AS n_grams FROM m
       """.trim,
       // langid: per-language marker-word scores, argmax with the engine's
       // defined tie-break (score DESC, then language code DESC — Spark

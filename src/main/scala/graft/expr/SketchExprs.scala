@@ -83,6 +83,26 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** fnv64(s) -> bigint: FNV-1a 64 over the string's UTF-8 bytes — the same
+  * base hash the minhash/simhash family uses ([[Mix64.hashUtf8]]). Exposed
+  * as a Column so operators whose outputs must be ORACLE-reproducible
+  * (winnowing fingerprints) can use a hash DuckDB can recompute in plain
+  * SQL (xor + modular multiply), unlike xxhash64's stripe algorithm.
+  */
+case class Fnv64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv64"
+
+  override def nullSafeEval(input: Any): Any =
+    Mix64.hashUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.Mix64.hashUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv64 =
+    copy(child = newChild)
+}
+
 /** cosine_sim(a, b) -> double over two float/double arrays — the ANN hot
   * path; a tight fused loop instead of zip_with+aggregate lambda towers.
   * Returns 0.0 when either norm is 0; null on length mismatch.
@@ -270,6 +290,8 @@ object SketchKernels {
 object SketchExprs {
   def minhashSig(c: Column, numHashes: Int = 64): Column =
     Bridge.column(MinHashSig(Bridge.expression(c), numHashes))
+  def fnv64(c: Column): Column =
+    Bridge.column(Fnv64(Bridge.expression(c)))
   def simhash64(c: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(c)))
   def cosineSim(a: Column, b: Column): Column =

@@ -98,13 +98,16 @@ object TextAnalysis {
       size(array_distinct(grams)).as("n_distinct"))
   }
 
-  /** Winnowing-style document fingerprint: k-gram rolling hashes, window
-    * minima, distinct — robust to small edits. Composed from higher-order
+  /** Winnowing-style document fingerprint: k-gram hashes, window minima,
+    * distinct — robust to small edits. Composed from higher-order
     * functions; `size(array_intersect(fp_a, fp_b))` estimates overlap.
+    * Gram hash is FNV-1a ([[graft.expr.Fnv64]]) so the whole pipeline is
+    * reproducible by the DuckDB oracle in plain SQL (signed-min semantics
+    * over the two's-complement hash values).
     */
   def fingerprint(text: Column, k: Int = 5, window: Int = 4): Column = {
     val grams = Dedup.shingles(text, k)
-    val hashes = transform(grams, g => xxhash64(g))
+    val hashes = transform(grams, g => graft.expr.SketchExprs.fnv64(g))
     val mins = when(size(hashes) >= window,
       transform(sequence(lit(0), size(hashes) - window),
         i => array_min(slice(hashes, i + 1, lit(window)))))
