@@ -148,6 +148,9 @@ object MediaCodec {
       if (compression != 0) return Left(s"bmp: unsupported compression $compression")
       val topDown = rawHeight < 0
       val height = math.abs(rawHeight)
+      // math.abs(Int.MinValue) is still negative: reject it here or every
+      // later guard computes with a negative height
+      if (height <= 0) return Left("bmp: implausible height")
       // hostile-header guard: validate dimensions with LONG arithmetic
       // before any allocation — width*3 or width*height overflowing Int
       // would otherwise slip past the overrun check and throw (the

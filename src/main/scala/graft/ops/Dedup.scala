@@ -68,6 +68,21 @@ object Dedup {
     when(size(array_union(a, b)) === 0, lit(1.0))
       .otherwise(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
 
+  /** Intra-row i<j expansion of a sorted bucket-member array into candidate
+    * structs (the shared shape of every LSH bucket expansion here), with an
+    * optional intra-row `keep` predicate applied BEFORE the flatten so
+    * filtered candidates never materialize. All pair operators share this
+    * one definition; their contract assumes UNIQUE ids — a duplicated input
+    * id would expand to (x, x) self-pairs, which callers must drop.
+    */
+  private def expandPairs(ms: Column, mk: (Column, Column) => Column,
+      keep: Column => Column = _ => lit(true)): Column =
+    explode(flatten(transform(sequence(lit(0), size(ms) - 2), i =>
+      filter(
+        transform(sequence(i + 1, size(ms) - 1), j =>
+          mk(element_at(ms, i + 1), element_at(ms, j + 1))),
+        keep))))
+
   /** MinHash + LSH near-dup pairs: shingle -> k-min-hash signature -> band
     * buckets -> capped intra-bucket candidate pairs (signature-estimate
     * prefilter) -> exact-Jaccard verification over ONE extra scan.
@@ -113,24 +128,19 @@ object Dedup {
       .agg(slice(sort_array(collect_list(struct(col("id"), col("sig")))),
         1, maxBucket).as("ms"))
       .where(size(col("ms")) > 1)
-    def member(ix: Column): Column = element_at(col("ms"), ix + 1)
     val estMatches = lit((math.ceil((threshold - estMargin) * numHashes)).toInt)
-    val candidates = buckets.select(explode(flatten(
-      transform(sequence(lit(0), size(col("ms")) - 2), i =>
-        filter(
-          transform(sequence(i + 1, size(col("ms")) - 1), j => {
-            val a = member(i); val b = member(j)
-            val matches = size(filter(
-              zip_with(a.getField("sig"), b.getField("sig"),
-                (x, y) => x === y), m => m))
-            struct(
-              least(a.getField("id"), b.getField("id")).as("a"),
-              greatest(a.getField("id"), b.getField("id")).as("b"),
-              matches.as("m"))
-          }),
-          p => p.getField("m") >= estMatches))))
-      .as("p"))
+    val candidates = buckets.select(expandPairs(col("ms"), (a, b) => {
+        val matches = size(filter(
+          zip_with(a.getField("sig"), b.getField("sig"),
+            (x, y) => x === y), m => m))
+        struct(
+          least(a.getField("id"), b.getField("id")).as("a"),
+          greatest(a.getField("id"), b.getField("id")).as("b"),
+          matches.as("m"))
+      },
+      p => p.getField("m") >= estMatches).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= col("b")) // duplicate-id inputs expand to self-pairs
       .groupBy(col("a"), col("b")).agg(lit(1)) // dedupe across bands
       .select(struct(col("a"), col("b")).as("p"))
     // exact verify: ONE scan of the shingle table, joined to both pair sides
@@ -239,7 +249,12 @@ object Dedup {
     require(maxHamming >= 1 && cleanBlocks >= 1)
     require(maxHamming + cleanBlocks <= 64, "too many blocks")
     val in = if (inputPartitions > 0) df.repartition(inputPartitions) else df
+    // null text -> null sig: such docs carry no content to compare, so they
+    // are EXCLUDED here (groupBy would otherwise pool all null sigs into
+    // one group and report every null-text doc as an exact duplicate of
+    // every other — silent mass data loss once fed to dupClusters)
     val withSig = in.select(id.as("id"), simhash64(tokens(text)).as("sig"))
+      .where(col("sig").isNotNull)
     // PRE-COLLAPSE identical signatures first: mass-duplicated boilerplate —
     // the 100 TB phenomenon where millions of docs share one simhash — now
     // contributes ONE row per distinct signature to the table joins, so the
@@ -248,12 +263,10 @@ object Dedup {
     val sigGroups = withSig.groupBy(col("sig"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
     val zeroPairs = sigGroups.where(size(col("ids")) > 1)
-      .select(explode(flatten(
-        transform(sequence(lit(0), size(col("ids")) - 2), i =>
-          transform(sequence(i + 1, size(col("ids")) - 1), j =>
-            struct(element_at(col("ids"), i + 1).as("a"),
-              element_at(col("ids"), j + 1).as("b")))))).as("p"))
+      .select(expandPairs(col("ids"), (a, b) =>
+        struct(a.as("a"), b.as("b"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"), lit(0).as("hamming"))
+      .where(col("a") =!= col("b")) // duplicate-id inputs expand to self-pairs
     // cross-signature candidates over DISTINCT sigs only, capped buckets
     val sigPairs = simhashSigPairs(sigGroups.select(col("sig")),
       maxHamming, cleanBlocks, maxBucket)
@@ -264,6 +277,8 @@ object Dedup {
         transform(col("idsa"), a => transform(col("idsb"), b =>
           struct(least(a, b).as("a"), greatest(a, b).as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"), col("hamming"))
+      // a duplicated id under two DIFFERENT texts lands in both sig groups
+      .where(col("a") =!= col("b"))
     zeroPairs.unionByName(crossPairs)
   }
 
@@ -294,16 +309,10 @@ object Dedup {
     val buckets = keyed.groupBy(col("table"), col("tk"))
       .agg(slice(sort_array(collect_list(col("sig"))), 1, maxBucket).as("sigs"))
       .where(size(col("sigs")) > 1)
-    buckets.select(explode(flatten(
-        transform(sequence(lit(0), size(col("sigs")) - 2), i =>
-          filter(
-            transform(sequence(i + 1, size(col("sigs")) - 1), j => {
-              val sa = element_at(col("sigs"), i + 1)
-              val sb = element_at(col("sigs"), j + 1)
-              struct(sa.as("siga"), sb.as("sigb"),
-                bit_count(sa.bitwiseXOR(sb)).as("hamming"))
-            }),
-            p => p.getField("hamming") <= maxHamming)))).as("p"))
+    buckets.select(expandPairs(col("sigs"), (sa, sb) =>
+        struct(sa.as("siga"), sb.as("sigb"),
+          bit_count(sa.bitwiseXOR(sb)).as("hamming")),
+        p => p.getField("hamming") <= maxHamming).as("p"))
       .select(col("p.siga").as("siga"), col("p.sigb").as("sigb"),
         col("p.hamming").as("hamming"))
       .groupBy(col("siga"), col("sigb")).agg(min(col("hamming")).as("hamming"))
@@ -365,9 +374,20 @@ object Dedup {
       checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // reliable checkpointing recomputes the RDD to write it UNLESS the data
+    // is cached — persist first so the round still computes once (the
+    // checkpoint write then reads cached blocks). The previous round's
+    // cache is released here: its checkpoint files were written by the
+    // prior round's action, and later rounds read those files, not the
+    // cache.
+    var roundCache: Option[DataFrame] = None
     def mark(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = false)
-      else df.localCheckpoint(eager = false)
+      if (checkpointDir.isDefined) {
+        roundCache.foreach(_.unpersist())
+        val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        roundCache = Some(cached)
+        cached.checkpoint(eager = false)
+      } else df.localCheckpoint(eager = false)
     // materialize the pair list ONCE: the symmetric edge view reads it twice
     // (union of both directions), and without this the caller's whole
     // candidate-generation pipeline (e.g. the minhash LSH plan) executes
@@ -410,6 +430,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    roundCache.foreach(_.unpersist())
     p.unpersist()
     require(converged, s"dupClusters: not converged after $maxIters rounds " +
       "(pathological chain graph — raise maxIters)")
@@ -451,13 +472,13 @@ object Dedup {
       .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
       .where(size(col("ids")) > 1)
     // intra-bucket i<j expansion (ids sorted, so a < b for free), deduped
-    // across bands before any vector is touched
-    val candidates = buckets.select(explode(flatten(
-        transform(sequence(lit(0), size(col("ids")) - 2), i =>
-          transform(sequence(i + 1, size(col("ids")) - 1), j =>
-            struct(element_at(col("ids"), i + 1).as("a"),
-              element_at(col("ids"), j + 1).as("b")))))).as("p"))
+    // across bands before any vector is touched. Requires unique ids: a
+    // duplicated id expands to self-pairs (dropped) and makes its genuine
+    // pairs ambiguous at the vector fetch (nsides filter drops those too).
+    val candidates = buckets.select(expandPairs(col("ids"), (a, b) =>
+        struct(a.as("a"), b.as("b"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= col("b"))
       .groupBy(col("a"), col("b")).agg(lit(1))
       .select(struct(col("a"), col("b")).as("p"))
     // exact verify: ONE scan of the vector table joined to both pair sides,

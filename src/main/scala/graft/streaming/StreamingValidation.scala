@@ -46,9 +46,12 @@ object StreamingValidation {
   /** First-seen emission: the surviving doc + how its key is bucketed. */
   final case class DedupOut(doc_id: String, khash: Long)
   /** Per-bucket state: true keys already emitted (usually exactly one; >1
-    * only under a 64-bit hash collision, which stays EXACT here).
+    * only under a 64-bit hash collision, which stays EXACT here) plus the
+    * event-time high-water mark the TTL is anchored to — carried in state
+    * so a later all-null-ts batch cannot REWIND the expiry to the current
+    * watermark and evict the key early.
     */
-  final case class SeenKeys(keys: List[String])
+  final case class SeenKeys(keys: List[String], maxTsMs: Long = Long.MinValue)
 
   /** Stateful streaming exact dedup (custom state via flatMapGroupsWithState,
     * SURVEY §2 Part B "Streaming"): emit only the FIRST doc per key;
@@ -84,8 +87,11 @@ object StreamingValidation {
         (khash: Long, rows: Iterator[DedupIn], state: GroupState[SeenKeys]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var seen = state.getOption.map(_.keys.toSet).getOrElse(Set.empty[String])
-            var maxTs = Long.MinValue
+            val prior = state.getOption
+            var seen = prior.map(_.keys.toSet).getOrElse(Set.empty[String])
+            // high-water mark from STATE, not just this batch: an all-null-
+            // ts batch must extend the existing expiry, never rewind it
+            var maxTs = prior.map(_.maxTsMs).getOrElse(Long.MinValue)
             val out = List.newBuilder[DedupOut]
             rows.foreach { e =>
               if (e.ts != null) maxTs = math.max(maxTs, e.ts.getTime)
@@ -94,11 +100,11 @@ object StreamingValidation {
                 out += DedupOut(e.doc_id, khash)
               }
             }
-            state.update(SeenKeys(seen.toList))
+            state.update(SeenKeys(seen.toList, maxTs))
             // ALWAYS set a timeout: a batch whose rows all carry null ts
             // would otherwise leave this key's state with no expiry — an
-            // unbounded state leak. Null-ts rows fall back to the current
-            // watermark + ttl; expiry is never at/behind the watermark.
+            // unbounded state leak. With no event time seen EVER, fall back
+            // to the current watermark + ttl; never at/behind the watermark.
             val expiryBase =
               if (maxTs != Long.MinValue) maxTs else state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(
@@ -115,8 +121,12 @@ object StreamingValidation {
       ts: java.sql.Timestamp)
   /** A bucket-resident signature. */
   final case class BandMember(doc_id: String, sig: Seq[Long])
-  /** Per-(band, bucket) state: resident members, capped at `maxBucket`. */
-  final case class BandBucket(members: List[BandMember])
+  /** Per-(band, bucket) state: resident members, capped at `maxBucket`,
+    * plus the event-time high-water mark the TTL is anchored to (see
+    * [[SeenKeys]] — prevents expiry rewind on all-null-ts batches).
+    */
+  final case class BandBucket(members: List[BandMember],
+      maxTsMs: Long = Long.MinValue)
   /** Candidate event: (a, b) with the unbiased signature-estimated jaccard
     * and the arrival time of the LATER doc (so downstream
     * `withWatermark("ts", ...).dropDuplicatesWithinWatermark("a", "b")` can
@@ -169,9 +179,10 @@ object StreamingValidation {
         (_: (Int, Long), incoming: Iterator[BandIn], state: GroupState[BandBucket]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var members = state.getOption.map(_.members).getOrElse(Nil)
+            val prior = state.getOption
+            var members = prior.map(_.members).getOrElse(Nil)
             var seen = members.iterator.map(_.doc_id).toSet
-            var maxTs = Long.MinValue
+            var maxTs = prior.map(_.maxTsMs).getOrElse(Long.MinValue)
             val out = List.newBuilder[CandidateOut]
             incoming.foreach { e =>
               if (e.ts != null) maxTs = math.max(maxTs, e.ts.getTime)
@@ -196,7 +207,7 @@ object StreamingValidation {
                 }
               }
             }
-            state.update(BandBucket(members))
+            state.update(BandBucket(members, maxTs))
             val expiryBase =
               if (maxTs != Long.MinValue) maxTs else state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(

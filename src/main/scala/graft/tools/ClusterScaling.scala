@@ -35,7 +35,10 @@ object ClusterScaling {
       .config("spark.ui.enabled", "false")
     if (master.startsWith("local-cluster")) {
       builder
-        .config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
+        .config("spark.executor.extraClassPath",
+          sys.env.getOrElse("GRAFT_CLASSES_DIR",
+            new java.io.File(Bench.getClass.getProtectionDomain
+              .getCodeSource.getLocation.toURI).getAbsolutePath))
         // same heap policy as build.sbt: fully pre-touched, working-set-sized
         .config("spark.executor.memory", sys.env.getOrElse("GRAFT_EXEC_MEM", "4g"))
         .config("spark.executor.extraJavaOptions", s"-Xms${sys.env.getOrElse("GRAFT_EXEC_MEM", "4g")} -XX:+AlwaysPreTouch")

@@ -62,6 +62,7 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(withDims(0x40000000, 0x40000000).pipe(BmpCodec.decode).isLeft)
     assert(withDims(0x55555557, 3).pipe(BmpCodec.decode).isLeft) // w*3 overflows
     assert(withDims(1 << 20, 1 << 20).pipe(BmpCodec.decode).isLeft) // w*h > payload
+    assert(withDims(4, Int.MinValue).pipe(BmpCodec.decode).isLeft) // abs() stays negative
     assert(withDims(4, -2).pipe(BmpCodec.decode).isRight) // sane top-down still fine
   }
 

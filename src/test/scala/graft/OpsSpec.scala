@@ -182,6 +182,29 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(pairs.where($"hamming" === 0).count() >= 2L * (400L * 399 / 2))
   }
 
+  test("null-text and duplicate-id inputs produce no degenerate pairs") {
+    // null text: no content to compare -> excluded, NOT pooled into one
+    // giant "duplicate" group (that would collapse all null docs into one
+    // cluster and delete the rest downstream)
+    val withNulls = Seq((1L, "alpha beta gamma delta"), (2L, null),
+      (3L, null), (4L, null)).toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(withNulls, $"doc_id", $"text").count() == 0)
+    // duplicate id (same row ingested twice): self-pairs (x, x) must not
+    // appear in any pair operator's output
+    val dup = Seq((7L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val twice = dup.unionByName(dup)
+    assert(Dedup.simhashPairs(twice, $"doc_id", $"text")
+      .where($"a" === $"b").count() == 0)
+    assert(Dedup.minhashPairs(twice, $"doc_id", $"text")
+      .where($"a" === $"b").count() == 0)
+    val dupVec = Seq((7L, (0 until 64).map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Dedup.embeddingCosinePairs(dupVec.unionByName(dupVec),
+        $"vec_id", $"embedding", minCosine = 0.5)
+      .where($"a" === $"b").count() == 0)
+  }
+
   test("dupClusters with a reliable checkpoint dir matches localCheckpoint") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
     val chain = (30L until 45L).map(i => (i, i + 1))
