@@ -111,7 +111,11 @@ object Dedup {
     // to fan it out. At real scale the scan has thousands of splits and the
     // knob stays 0 (no extra shuffle).
     val in = if (inputPartitions > 0) df.repartition(inputPartitions) else df
-    val withSh = in.select(id.as("id"), shingles(text).as("sh"))
+    // null text is EXCLUDED (no content to compare) — without this, null
+    // tokens shingle to [""] and every null-text doc pairs with every other
+    // at jaccard 1.0 (the simhashPairs null-pooling hazard, same fix)
+    val withSh = in.where(text.isNotNull)
+      .select(id.as("id"), shingles(text).as("sh"))
     val withSig = withSh.select(col("id"), minhashSig(col("sh"), numHashes).as("sig"))
     // NB: the band-hash array must reference `sig` as a literal-indexed array
     // of static slices (NOT transform/sequence with sig inside the lambda) —
@@ -190,7 +194,8 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.8, n: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withSh = df.select(id.as("id"), shingles(text, n).as("sh"))
+    // null text excluded — see minhashPairs
+    val withSh = df.where(text.isNotNull).select(id.as("id"), shingles(text, n).as("sh"))
     val inv = withSh.select(col("id"), size(col("sh")).as("len"),
       explode(col("sh")).as("shingle"))
     val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))

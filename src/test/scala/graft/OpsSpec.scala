@@ -189,6 +189,8 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val withNulls = Seq((1L, "alpha beta gamma delta"), (2L, null),
       (3L, null), (4L, null)).toDF("doc_id", "text")
     assert(Dedup.simhashPairs(withNulls, $"doc_id", $"text").count() == 0)
+    assert(Dedup.minhashPairs(withNulls, $"doc_id", $"text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(withNulls, $"doc_id", $"text").count() == 0)
     // duplicate id (same row ingested twice): self-pairs (x, x) must not
     // appear in any pair operator's output
     val dup = Seq((7L, "the quick brown fox jumps over the lazy dog"))
