@@ -182,6 +182,20 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(pairs.where($"hamming" === 0).count() >= 2L * (400L * 399 / 2))
   }
 
+  test("bucket-stats audits surface mass-duplicate buckets before capping") {
+    // 50 identical docs share every band bucket: the audit's top bucket
+    // must report all 50 members in each of the 32 bands
+    val flood = (0L until 50L).map(i =>
+      (i, "identical boilerplate body shared by every doc in this flood"))
+    val stats = Dedup.minhashBucketStats(flood.toDF("doc_id", "text"),
+      $"doc_id", $"text", minSize = 2).collect()
+    assert(stats.length == 32 && stats.forall(_.getLong(2) == 50L))
+    val vflood = (0L until 40L).map(i => (i, (0 until 64).map(_.toFloat)))
+    val estats = Dedup.embeddingBucketStats(vflood.toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding", minSize = 2).collect()
+    assert(estats.length == 16 && estats.forall(_.getLong(2) == 40L))
+  }
+
   test("null-text and duplicate-id inputs produce no degenerate pairs") {
     // null text: no content to compare -> excluded, NOT pooled into one
     // giant "duplicate" group (that would collapse all null docs into one
