@@ -161,6 +161,18 @@ object SparkEntry {
       Dedup.exactDupGroups(withDups, col("text"))
         .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_rows_in_groups"))
     }),
+    // C4-style global line dedup: docs are reshaped into 3 lines (shared
+    // boilerplate header, the doc's own text, shared footer); the shared
+    // lines survive only in the lowest-doc_id document
+    "dedup_lines" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val src = docs.select(col("doc_id"), concat_ws("\n",
+        lit("== shared boilerplate header =="), col("text"),
+        lit("== shared footer ==")).as("text"))
+      Dedup.lineDedup(src, col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("n_kept"), col("n_dropped"),
+          col("text_clean"))
+    }),
     // minhash+LSH near-dup pairs, exact-verified at jaccard >= 0.8; the
     // oracle recomputes exact 3-gram jaccard pairs in SQL
     "dedup_near_pairs" -> ((s, dir) => {
@@ -467,6 +479,39 @@ object SparkEntry {
       "dedup_exact_docs" -> """
         SELECT count(*)::BIGINT AS n_groups, (2 * count(*))::BIGINT AS n_rows_in_groups
         FROM documents WHERE doc_id % 10 = 0
+      """.trim,
+      "dedup_lines" -> """
+        WITH src AS (
+          SELECT doc_id, '== shared boilerplate header ==' || chr(10) || text
+                 || chr(10) || '== shared footer ==' AS t
+          FROM documents
+        ), ls AS (
+          SELECT doc_id, string_split(t, chr(10)) AS parts FROM src
+        ), lines AS (
+          SELECT doc_id, unnest(generate_series(0, len(parts) - 1)) AS idx,
+                 unnest(parts) AS line
+          FROM ls
+        ), elig AS (
+          SELECT * FROM lines WHERE length(line) >= 10
+        ), keptE AS (
+          SELECT doc_id, idx, line FROM (
+            SELECT doc_id, idx, line,
+                   row_number() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+            FROM elig)
+          WHERE rn = 1
+        ), kept AS (
+          SELECT doc_id, idx, line FROM lines WHERE length(line) < 10
+          UNION ALL SELECT doc_id, idx, line FROM keptE
+        ), agg AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(line, chr(10) ORDER BY idx) AS text_clean
+          FROM kept GROUP BY doc_id
+        ), tot AS (
+          SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+        )
+        SELECT a.doc_id, n_kept::BIGINT AS n_kept,
+               (n_lines - n_kept)::BIGINT AS n_dropped, text_clean
+        FROM agg a JOIN tot USING (doc_id)
       """.trim,
       "dedup_near_pairs" -> """
         WITH t AS (

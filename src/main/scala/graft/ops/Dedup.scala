@@ -354,6 +354,49 @@ object Dedup {
       .where(col("n_overlap") >= minOverlap)
   }
 
+  /** C4-style global line-level dedup (Raffel et al., "Exploring the Limits
+    * of Transfer Learning...", §2.2's three-sentence-span dedup at line
+    * granularity): a line is kept only at its FIRST corpus occurrence —
+    * ordered by (id, line index) — and every later copy is dropped; the
+    * standard boilerplate-removal pass (headers, footers, nav chrome)
+    * before near-dup detection. Lines shorter than `minLen` chars never
+    * participate (deduping "" or "---" globally would mangle documents).
+    *
+    * Scale shape: the first-occurrence winner per distinct line is a
+    * partial-aggregated `min(struct(id, idx))` — NOT a window: a window
+    * partitioned by line puts a mass-duplicated boilerplate line's every
+    * occurrence in one partition (the exact rows this op exists to kill),
+    * while the aggregate combines map-side so hot lines shrink before the
+    * shuffle. The winner join is 1:N with no expansion; AQE's skew
+    * handling splits oversized line partitions. Reassembly shuffles
+    * (id, idx, line) once.
+    *
+    * @return (id, n_kept, n_dropped, text_clean); docs whose every line
+    *         was dropped do not appear.
+    */
+  def lineDedup(df: DataFrame, id: Column, text: Column,
+      minLen: Int = 10): DataFrame = {
+    val lines = df.where(text.isNotNull)
+      .select(id.as("id"), posexplode(split(text, "\n")).as(Seq("idx", "line")))
+    val eligible = lines.where(length(col("line")) >= minLen)
+    val winners = eligible.groupBy(col("line"))
+      .agg(min(struct(col("id"), col("idx"))).as("w"))
+    val keptEligible = eligible.join(winners, Seq("line"))
+      .where(struct(col("id"), col("idx")) === col("w"))
+      .select(col("id"), col("idx"), col("line"))
+    val kept = lines.where(length(col("line")) < minLen)
+      .select(col("id"), col("idx"), col("line"))
+      .unionByName(keptEligible)
+    val perDoc = lines.groupBy(col("id")).agg(count(lit(1)).as("n_lines"))
+    kept.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("line")))).as("ls"))
+      .join(perDoc, Seq("id"))
+      .select(col("id"),
+        size(col("ls")).cast("long").as("n_kept"),
+        (col("n_lines") - size(col("ls"))).cast("long").as("n_dropped"),
+        concat_ws("\n", transform(col("ls"), l => l.getField("line"))).as("text_clean"))
+  }
+
   /** Duplicate-cluster resolution: connected components over an undirected
     * near-dup pair list ((a, b) edges from [[minhashPairs]] /
     * [[simhashPairs]] / [[embeddingCosinePairs]]), so transitive chains

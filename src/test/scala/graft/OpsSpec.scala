@@ -182,6 +182,21 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(pairs.where($"hamming" === 0).count() >= 2L * (400L * 399 / 2))
   }
 
+  test("lineDedup keeps only the first corpus occurrence of long lines") {
+    val docs = Seq(
+      (1L, "shared header line here\nunique content of doc one\n--\nshared footer line here"),
+      (2L, "shared header line here\nunique content of doc two\n--\nshared footer line here"),
+      (3L, "shared header line here")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 wins both shared lines; the short "--" (< minLen) survives everywhere
+    assert(out(1L) == ((4L, 0L,
+      "shared header line here\nunique content of doc one\n--\nshared footer line here")))
+    assert(out(2L) == ((2L, 2L, "unique content of doc two\n--")))
+    // doc 3's only line was dropped -> doc absent from output
+    assert(!out.contains(3L))
+  }
+
   test("bucket-stats audits surface mass-duplicate buckets before capping") {
     // 50 identical docs share every band bucket: the audit's top bucket
     // must report all 50 members in each of the 32 bands
