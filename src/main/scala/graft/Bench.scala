@@ -78,9 +78,17 @@ object Bench {
     }
     val nDocs = math.max(800000L, liRows * 8)
     val dir = phase("ensure_corpus") { ensureCorpus(spark, nDocs, 128) }
+    // in-window pure-CPU control BRACKETS the headline measurement (pre +
+    // post): this host's throughput swings 4-7x with memory weather, so the
+    // artifact carries its own normalizer — validate_docs_per_ghash is the
+    // weather-cancelled headline to compare across rounds
+    val nCores = cpus.toInt
+    val ctlPre = phase("control_pre") { tools.Control.hashRate(spark, nCores) }
     phase("warmup_validate") { timeValidate(spark, dir) }
     val (valSec, _) = phase("timed_validate") { timeValidate(spark, dir) }
+    val ctlPost = phase("control_post") { tools.Control.hashRate(spark, nCores) }
     val docsPerSec = nDocs / valSec
+    val ctl = math.min(ctlPre, ctlPost)
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double](
       "marc_validate" -> valSec)
@@ -105,7 +113,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val heapG = Runtime.getRuntime.maxMemory() / (1 << 30)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"rows":$rs,"failures":$failures,"sf":"$sfDir","headline_docs":$nDocs,"validate_docs_per_sec":$docsPerSec%.0f,"cpus":$cpus,"heap_gib":$heapG,"corpus_cached":$corpusWasCached}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"rows":$rs,"failures":$failures,"sf":"$sfDir","headline_docs":$nDocs,"validate_docs_per_sec":$docsPerSec%.0f,"control_ghash_per_sec_pre":${ctlPre / 1e9}%.3f,"control_ghash_per_sec_post":${ctlPost / 1e9}%.3f,"validate_docs_per_ghash":${docsPerSec / (ctl / 1e9)}%.0f,"cpus":$cpus,"heap_gib":$heapG,"corpus_cached":$corpusWasCached}""")
     spark.stop()
   }
 }

@@ -354,14 +354,25 @@ object SparkEntry {
     }),
     // stats with HLL++ distinct sketches (rows-only: approximate by design;
     // exactness of the non-sketch fields is covered by col_stats_documents)
+    // The HLL++ estimates themselves are approximate (no exact oracle), so
+    // the oracle-checkable surface is: exact distincts (recomputed exactly
+    // here AND in DuckDB) plus an in-bounds FLAG per sketch — rsd=0.01, flag
+    // asserts |est - exact| <= 5% * exact (5 sigma; deterministic per
+    // dataset, HLL++ has no run-to-run randomness).
     "col_stats_sketch" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       docs.agg(
         StatsAgg.columnStats(col("text")).as("st"),
-        approx_count_distinct(col("text")).as("approx_distinct_text"),
-        approx_count_distinct(col("source")).as("approx_distinct_source"))
+        approx_count_distinct(col("text"), 0.01).as("est_text"),
+        approx_count_distinct(col("source"), 0.01).as("est_source"),
+        countDistinct(col("text")).as("distinct_text"),
+        countDistinct(col("source")).as("distinct_source"))
         .select(col("st.n_rows"), col("st.n_nulls"),
-          col("approx_distinct_text"), col("approx_distinct_source"))
+          col("distinct_text"), col("distinct_source"),
+          (abs(col("est_text") - col("distinct_text")) <=
+            lit(0.05) * col("distinct_text")).cast("int").as("text_est_ok"),
+          (abs(col("est_source") - col("distinct_source")) <=
+            lit(0.05) * col("distinct_source")).cast("int").as("source_est_ok"))
     }),
     // tumbling-hour event counts (batch form of the streaming windowed agg)
     "events_hourly" -> ((s, dir) => {
@@ -430,6 +441,17 @@ object SparkEntry {
         FROM documents
         UNION ALL SELECT 'lang', count(*)::BIGINT, (count(*) - count(lang))::BIGINT, min(lang), max(lang) FROM documents
         UNION ALL SELECT 'source', count(*)::BIGINT, (count(*) - count(source))::BIGINT, min(source), max(source) FROM documents
+      """.trim,
+      // the sketch flags are 1 iff Spark's HLL++ estimate landed within 5%
+      // of the exact distinct count — the oracle recomputes the exact counts
+      // and pins the flags at 1, so a drifting sketch breaks the hash
+      "col_stats_sketch" -> """
+        SELECT count(*)::BIGINT AS n_rows,
+               (count(*) - count(text))::BIGINT AS n_nulls,
+               count(DISTINCT text)::BIGINT AS distinct_text,
+               count(DISTINCT source)::BIGINT AS distinct_source,
+               1::INT AS text_est_ok, 1::INT AS source_est_ok
+        FROM documents
       """.trim,
       "length_hist_documents" -> """
         SELECT least(length(text) // 100, 63)::INT AS bucket, count(*)::BIGINT AS cnt

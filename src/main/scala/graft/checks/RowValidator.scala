@@ -60,10 +60,22 @@ object RowValidator {
 
   /** Violation rows for the sink: one row per violation, failing docs only.
     * (The fan-out is forced here: the sink's unit IS the violation.)
+    *
+    * Deliberately NO `where(not(passed))` prefilter, and `explode_outer` +
+    * a null filter on the GENERATOR OUTPUT instead of plain `explode`: both
+    * a `passed` prefilter and (for non-outer explode) Catalyst's
+    * InferFiltersFromGenerate rule end up as a Filter below the violations
+    * projection with the validate kernel inlined into its condition — the
+    * kernel then runs 3x per row (size-guard, null-guard, projection;
+    * subexpression elimination never spans Filter/Project/Generate nodes).
+    * The outer generate is exempt from filter inference, and the
+    * `v IS NOT NULL` filter references only the generator's output
+    * attribute, so it cannot be pushed below the kernel. A plan test in
+    * RowValidatorSpec pins the single-evaluation shape.
     */
   def violations(docs: DataFrame, rules: RuleSet = RuleSet.default): DataFrame =
     withViolations(docs, rules)
-      .where(not(col("passed")))
-      .select(col("doc_id"), explode(col("violations")).as("v"))
+      .select(col("doc_id"), explode_outer(col("violations")).as("v"))
+      .where(col("v").isNotNull)
       .select(col("doc_id"), col("v.*"))
 }

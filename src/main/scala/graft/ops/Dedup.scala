@@ -446,6 +446,28 @@ object Dedup {
         roundCache = Some(cached)
         cached.checkpoint(eager = false)
       } else df.localCheckpoint(eager = false)
+    // Reliable-checkpoint GC: Spark only deletes RDD checkpoint files when
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true, so a long run
+    // would otherwise accumulate one (id, label) snapshot per round forever.
+    // After round N's action materializes its checkpoint, every OLDER rdd-*
+    // directory under the run's checkpoint root is dead (later rounds read
+    // round N's files, never N-1's) and is deleted here explicitly.
+    val sc = pairs.sparkSession.sparkContext
+    val fsConf = sc.hadoopConfiguration
+    def listRoundDirs(): Seq[org.apache.hadoop.fs.Path] =
+      sc.getCheckpointDir.toSeq.flatMap { root =>
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val fs = rootPath.getFileSystem(fsConf)
+        if (fs.exists(rootPath))
+          fs.listStatus(rootPath).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("rdd-"))
+            .map(_.getPath)
+        else Nil
+      }
+    def gcOldCheckpoints(keep: Set[String]): Unit =
+      if (checkpointDir.isDefined) listRoundDirs().foreach { p =>
+        if (!keep.contains(p.getName)) p.getFileSystem(fsConf).delete(p, true)
+      }
     // materialize the pair list ONCE: the symmetric edge view reads it twice
     // (union of both directions), and without this the caller's whole
     // candidate-generation pipeline (e.g. the minhash LSH plan) executes
@@ -482,7 +504,10 @@ object Dedup {
         .agg(min(col("label")).as("label"), min(col("old")).as("old")))
       // the ONE action of the round: computes the changed count AND
       // materializes the (lazily marked) checkpoint as a side effect
+      val preRound = listRoundDirs().map(_.getName).toSet
       val changed = next.where(col("label") =!= col("old")).count()
+      // round N's checkpoint is on disk now; all older snapshots are dead
+      gcOldCheckpoints(keep = listRoundDirs().map(_.getName).toSet -- preRound)
       labels.unpersist()
       labels = next.select(col("id"), col("label"))
       converged = changed == 0

@@ -52,13 +52,20 @@ object Similarity {
     */
   def annTopKCosine(df: DataFrame, id: Column, vec: Column, query: Seq[Float],
       k: Int, bands: Int = 32, rowsPerBand: Int = 16, dims: Int = 64): DataFrame = {
-    val keys = bandKeys(vec, bands, rowsPerBand, dims)
-    val data = df.select(id.as("id"), vec.as("v"), explode(keys).as("bh"))
+    val withVec = df.select(id.as("id"), vec.as("v"))
+    // band rows carry (id, bh) ONLY — the vector must not ride the x`bands`
+    // explode (it did in v1: a x32 copy of every embedding through the band
+    // join and a (id, vector) shuffle in the candidate distinct). Same shape
+    // as [[Dedup.embeddingCosinePairs]]; asserted by a plan test in OpsSpec.
+    val bandRows = withVec.select(col("id"),
+      explode(bandKeys(col("v"), bands, rowsPerBand, dims)).as("bh"))
     val qKeys = bandKeys(typedLit(query), bands, rowsPerBand, dims)
-    data
+    val candIds = bandRows
       .join(broadcast(
         df.sparkSession.range(1).select(explode(qKeys).as("bh"))), Seq("bh"))
-      .select(col("id"), col("v")).distinct()
+      .select(col("id")).distinct() // thin id-only exchange across bands
+    // ONE vector fetch per surviving candidate, cosine computed once per id
+    candIds.join(withVec, Seq("id"))
       .select(col("id"), cosineSim(col("v"), typedLit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)

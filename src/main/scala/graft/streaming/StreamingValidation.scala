@@ -50,6 +50,14 @@ object StreamingValidation {
     * event-time high-water mark the TTL is anchored to — carried in state
     * so a later all-null-ts batch cannot REWIND the expiry to the current
     * watermark and evict the key early.
+    *
+    * COMPATIBILITY: `maxTsMs` was added after the first release of this
+    * operator. Structured Streaming state schemas are not forward-
+    * compatible, so restoring a checkpoint written by the pre-`maxTsMs`
+    * build fails at restore time (state-encoder schema mismatch). Restart
+    * such queries from a fresh checkpoint; within-watermark dedup state
+    * rebuilds from the replayed source offsets. The same applies to
+    * [[BandBucket]].
     */
   final case class SeenKeys(keys: List[String], maxTsMs: Long = Long.MinValue)
 
@@ -162,7 +170,12 @@ object StreamingValidation {
     val spark = docs.sparkSession
     import spark.implicits._
     val minMatches = math.ceil((threshold - estMargin) * numHashes).toInt
+    // null text is EXCLUDED (no content to compare) — same guard as the
+    // batch ops ([[graft.ops.Dedup.minhashPairs]]): without it a null sig
+    // lands in bucket state and the next arrival's m.sig(i) compare NPEs
+    // the executor, terminating the streaming query
     val bandRows = docs
+      .where(text.isNotNull)
       .withWatermark(tsCol, watermark)
       .select(id.cast("string").as("doc_id"),
         minhashSig(Dedup.shingles(text), numHashes).as("sig"),

@@ -154,6 +154,21 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
         })
         assert(shingleCols.isEmpty, s"shingles ride the band exchange: ${e.output}")
       }
+      // ANN query path (annTopKCosine): the candidate dedup after the band
+      // join must be id-only; the ONLY exchange allowed to carry the
+      // embedding is the single vector fetch for the exact re-rank. (v1
+      // exploded (id, vector, bh) x bands and distinct'ed (id, vector).)
+      val q = (0 until 64).map(_ => 0.1f)
+      val annPlan = Similarity.annTopKCosine(emb, $"vec_id", $"embedding", q, 10)
+      val vecExchanges = annPlan.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if e.output.exists(_.dataType match {
+          case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+          case _                                                  => false
+        }) => e
+      }
+      assert(vecExchanges.size <= 1,
+        s"vector payload rides ${vecExchanges.size} exchanges (want <=1, the " +
+          s"re-rank fetch): ${vecExchanges.map(_.output)}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 

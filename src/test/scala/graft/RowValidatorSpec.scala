@@ -67,4 +67,36 @@ class RowValidatorSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(plan.contains("ReadSchema"))
     assert(!plan.contains("extra_fat_column"), s"pruning failed:\n$plan")
   }
+
+  test("validate kernel is evaluated once per row (no Filter duplication)") {
+    import spark.implicits._
+    // one ValidateSpans occurrence per optimized-plan NODE is the property
+    // that matters: runtime subexpression elimination collapses duplicates
+    // WITHIN a Project/Filter but never ACROSS nodes, so a filter on
+    // `passed` pushed below the violations projection silently doubles the
+    // hot kernel (BENCH/PLANS.md round-3 finding: 4x in one Filter node)
+    def kernelNodes(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.queryExecution.optimizedPlan.collect {
+        case n => n.expressions.map(
+          _.collect { case v: graft.expr.ValidateSpans => v }.size).sum
+      }.filter(_ > 0)
+    val docs = Synth.corpusDF(spark, 90)
+
+    // violations sink path: exactly ONE occurrence in the whole plan (the
+    // Generate's input projection) — the old where(not(passed)) shape had 2+
+    val vioNodes = kernelNodes(RowValidator.violations(docs))
+    assert(vioNodes.sum == 1, s"kernel evaluated ${vioNodes.sum}x in violations plan")
+
+    // corpus-verdict aggregate shape (marc_corpus_verdicts): still one
+    val aggNodes = kernelNodes(
+      RowValidator.violations(docs).groupBy($"rule_id").count())
+    assert(aggNodes.sum == 1, s"kernel evaluated ${aggNodes.sum}x in agg plan")
+
+    // verdicts: all occurrences must sit in a single node so runtime
+    // subexpression elimination applies (passed + n_violations share one
+    // Project)
+    val verNodes = kernelNodes(RowValidator.verdicts(docs))
+    assert(verNodes.size == 1,
+      s"kernel spread across ${verNodes.size} plan nodes in verdicts plan")
+  }
 }
