@@ -248,6 +248,29 @@ object SparkEntry {
       top.withColumn("rank", row_number().over(w).cast("long"))
         .select(col("rank"), col("id").as("vec_id"))
     }),
+    // IVF PARTIAL probe driven end-to-end: assign with the deterministic
+    // axis model (cluster = argmax of the first 4 components — the one
+    // assignment a SQL oracle can recompute), write the index
+    // partitionBy("cluster") to disk, probe 2 of 4 clusters (partition
+    // pruning at the scan — file-count assertion in IvfSpec), exact
+    // re-rank. Oracle: brute-force top-k over the same probed subset,
+    // clusters + probes re-derived in DuckDB SQL.
+    "ann_ivf_pruned" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      val rest = emb.where(col("vec_id") =!= 0)
+      val model = ops.Ivf.Model.axis(4, q.length)
+      val idxDir = s"/tmp/graft_ivf_pruned_${new java.io.File(dir).getName}"
+      ops.Ivf.writeIndex(
+        ops.Ivf.assign(rest, col("vec_id"), col("embedding"), model), idxDir)
+      val index = ops.Ivf.readIndex(s, idxDir)
+      val top = ops.Ivf.search(index, model, q, topK = 10, nProbe = 2)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cosine").desc, col("id"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("id").as("vec_id"))
+    }),
     // token counting (whitespace tokens per doc)
     "text_token_counts" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -635,6 +658,30 @@ object SparkEntry {
              scored AS (
           SELECT vec_id, list_cosine_similarity(e.embedding, q.embedding) AS sim
           FROM embeddings e, q WHERE vec_id <> 0)
+        SELECT row_number() OVER (ORDER BY sim DESC, vec_id) AS rank, vec_id
+        FROM scored ORDER BY sim DESC, vec_id LIMIT 10
+      """.trim,
+      // axis-model IVF: cluster = argmax(embedding[1..4]) with lowest-index
+      // tie-break (matches Ivf.clusterOf: cosine vs axis centroid e_j is
+      // embedding[j]/|v|, same argmax); probes = top-2 clusters by the
+      // query's own components (matches Model.rankClusters)
+      "ann_ivf_pruned" -> """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+             probes AS (
+               SELECT j - 1 AS cluster
+               FROM q, (SELECT unnest(generate_series(1, 4)) AS j) t
+               ORDER BY qe[j] DESC, j LIMIT 2),
+             assigned AS (
+               SELECT vec_id, embedding,
+                      CASE WHEN embedding[1] >= embedding[2] AND embedding[1] >= embedding[3]
+                                AND embedding[1] >= embedding[4] THEN 0
+                           WHEN embedding[2] >= embedding[3] AND embedding[2] >= embedding[4] THEN 1
+                           WHEN embedding[3] >= embedding[4] THEN 2
+                           ELSE 3 END AS cluster
+               FROM embeddings WHERE vec_id <> 0),
+             scored AS (
+               SELECT vec_id, list_cosine_similarity(a.embedding, q.qe) AS sim
+               FROM assigned a, q WHERE a.cluster IN (SELECT cluster FROM probes))
         SELECT row_number() OVER (ORDER BY sim DESC, vec_id) AS rank, vec_id
         FROM scored ORDER BY sim DESC, vec_id LIMIT 10
       """.trim,

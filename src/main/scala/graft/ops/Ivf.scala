@@ -31,6 +31,22 @@ import graft.expr.SketchExprs.cosineSim
 object Ivf {
 
   /** Coarse quantizer: L2-normalized centroids (spherical k-means). */
+  object Model {
+    /** Deterministic quantizer-free model: centroid j is the axis vector
+      * e_j. Assignment degenerates to argmax of the first k vector
+      * components — recomputable in plain SQL, which is what lets the
+      * driver's DuckDB oracle pin the PARTIAL-probe search path end-to-end
+      * (`ann_ivf_pruned`): with a trained model the probed subset depends
+      * on k-means internals no oracle can re-derive. Index mechanics
+      * (assign / partitioned write / pruned probe / re-rank) are identical
+      * to a trained model's.
+      */
+    def axis(k: Int, dims: Int): Model = {
+      require(k >= 1 && k <= dims)
+      Model(Array.tabulate(k)(j => Array.tabulate(dims)(d => if (d == j) 1f else 0f)))
+    }
+  }
+
   final case class Model(centroids: Array[Array[Float]]) {
     def k: Int = centroids.length
     def dims: Int = centroids.head.length
@@ -107,6 +123,18 @@ object Ivf {
   def assign(df: DataFrame, id: Column, vec: Column, model: Model): DataFrame =
     df.select(id.as("id"), vec.as("v"))
       .withColumn("cluster", clusterOf(col("v"), model))
+
+  /** Persist the inverted lists partitioned by cluster id: the cluster
+    * becomes a PARTITION COLUMN, so [[search]]'s probe filter prunes whole
+    * directories at the scan — a probe of nProbe/k clusters reads ~nProbe/k
+    * of the index bytes (asserted via scan numFiles in IvfSpec).
+    */
+  def writeIndex(index: DataFrame, dir: String): Unit =
+    index.write.mode("overwrite").partitionBy("cluster").parquet(dir)
+
+  /** Read a partitioned index written by [[writeIndex]]. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
 
   /** Top-k by cosine probing the `nProbe` clusters nearest the query:
     * cluster filter (partition pruning on a partitioned index) -> exact

@@ -103,18 +103,37 @@ class IvfSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("ivf: a partitioned index prunes non-probed clusters at the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
     val model = Ivf.train(clustered, $"vec_id", $"embedding", k = 4, iters = 2)
     val dir = Files.createTempDirectory("graft-ivf").toString
-    Ivf.assign(clustered, $"vec_id", $"embedding", model)
-      .write.mode("overwrite").partitionBy("cluster").parquet(dir)
-    val index = spark.read.parquet(dir)
+    Ivf.writeIndex(Ivf.assign(clustered, $"vec_id", $"embedding", model), dir)
+    val index = Ivf.readIndex(spark, dir)
     val q = clustered.where($"vec_id" === 1).select($"embedding")
       .collect().head.getSeq[Float](0)
     val search = Ivf.search(index, model, q, topK = 5, nProbe = 1)
-    val scan = search.queryExecution.executedPlan.collectLeaves().head.toString
-    assert(scan.contains("PartitionFilters") && scan.contains("cluster"),
-      s"no partition pruning in scan:\n$scan")
+    val scanNode = search.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    assert(scanNode.toString.contains("PartitionFilters") &&
+      scanNode.toString.contains("cluster"),
+      s"no partition pruning in scan:\n$scanNode")
     // and the pruned search still returns same-cluster results
     assert(search.collect().map(_.getLong(0)).forall(_ % 4 == 1))
+    // the hard evidence: the scan's file-read metric equals the file count
+    // of the ONE probed cluster directory, not the whole index
+    val fs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    val files = try {
+      import scala.jdk.CollectionConverters._
+      fs.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toVector
+    } finally fs.close()
+    val probedCluster = model.rankClusters(q).head
+    val probedFiles = files.count(_.contains(s"cluster=$probedCluster"))
+    assert(probedFiles > 0 && files.size > probedFiles,
+      s"degenerate layout: $probedFiles of ${files.size} files probed")
+    val numFilesRead = scanNode.metrics("numFiles").value
+    assert(numFilesRead == probedFiles,
+      s"scan read $numFilesRead files; probed cluster has $probedFiles " +
+        s"of ${files.size} total — pruning did not happen")
   }
 }
