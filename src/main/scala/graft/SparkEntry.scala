@@ -146,6 +146,15 @@ object SparkEntry {
         col("value"), lo = 0.0, hi = 500.0, buckets = 100)
         .select(round(col("ks"), 6).as("ks"))
     }),
+    // auto-ranged KS (two-pass: combined min/max -> bucketed CDFs) — the
+    // unknown-value-range form a 100 TB corpus needs; oracle re-derives the
+    // range and bucket formula in SQL
+    "drift_ks_auto" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      Drift.ksAuto(ev.where(col("event_id") % 2 === 0),
+        ev.where(col("event_id") % 2 === 1), col("value"), buckets = 100)
+        .select(round(col("ks"), 6).as("ks"))
+    }),
     // span-kind frequency histogram over the synthetic corpus (the input to
     // kind-frequency drift); counts are closed-form in doc_id defect class
     "drift_kind_freq" -> ((s, dir) => {
@@ -495,6 +504,21 @@ object SparkEntry {
                  count(*) FILTER (WHERE event_id % 2 = 0) AS n_cur,
                  count(*) FILTER (WHERE event_id % 2 = 1) AS n_base
           FROM events WHERE value IS NOT NULL GROUP BY 1),
+             c AS (
+          SELECT sum(n_cur) OVER (ORDER BY bucket) / (SELECT sum(n_cur) FROM h) AS cdf_cur,
+                 sum(n_base) OVER (ORDER BY bucket) / (SELECT sum(n_base) FROM h) AS cdf_base
+          FROM h)
+        SELECT round(max(abs(cdf_cur - cdf_base)), 6) AS ks FROM c
+      """.trim,
+      "drift_ks_auto" -> """
+        WITH r AS (SELECT min(value)::DOUBLE AS lo, max(value)::DOUBLE AS hi
+                   FROM events WHERE value IS NOT NULL),
+             h AS (
+          SELECT least(greatest(floor((value - r.lo) /
+                   ((CASE WHEN r.hi > r.lo THEN r.hi ELSE r.lo + 1.0 END - r.lo) / 100)), 0), 99)::BIGINT AS bucket,
+                 count(*) FILTER (WHERE event_id % 2 = 0) AS n_cur,
+                 count(*) FILTER (WHERE event_id % 2 = 1) AS n_base
+          FROM events, r WHERE value IS NOT NULL GROUP BY 1),
              c AS (
           SELECT sum(n_cur) OVER (ORDER BY bucket) / (SELECT sum(n_cur) FROM h) AS cdf_cur,
                  sum(n_base) OVER (ORDER BY bucket) / (SELECT sum(n_base) FROM h) AS cdf_base

@@ -57,6 +57,35 @@ object Drift {
       .agg(max(abs(col("cdf_cur") - col("cdf_base"))).as("ks"))
   }
 
+  /** Auto-ranged [[ksBucketed]]: pass 1 computes the combined [min, max] of
+    * both sides (one tiny map-side-combined aggregate over the union — a
+    * (double, double) row per partition), pass 2 buckets on exactly that
+    * range. A 100 TB corpus with an unknown value range cannot silently
+    * clip into [[ksBucketed]]'s clamp buckets — with a fixed guess, every
+    * out-of-range value collapses into bucket 0 or buckets-1 and the
+    * statistic quietly understates (or misplaces) tail drift. Costs one
+    * extra scan of the value column; at extreme scale substitute a sketch
+    * range (e.g. a t-digest's [q0, q100]) and call [[ksBucketed]] directly.
+    *
+    * Degenerate inputs: no non-null values on either side -> ks = null;
+    * a single distinct value -> both CDFs are a step at the same bucket ->
+    * ks = 0 (the range is widened by 1 to keep the bucket width positive).
+    */
+  def ksAuto(current: DataFrame, baseline: DataFrame, value: Column,
+      buckets: Int = 256): DataFrame = {
+    val r = current.select(value.cast("double").as("v"))
+      .unionByName(baseline.select(value.cast("double").as("v")))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect().head
+    if (r.isNullAt(0))
+      current.sparkSession.sql("SELECT CAST(NULL AS DOUBLE) AS ks")
+    else {
+      val lo = r.getDouble(0)
+      val hi = if (r.getDouble(1) > lo) r.getDouble(1) else lo + 1.0
+      ksBucketed(current, baseline, value, lo, hi, buckets)
+    }
+  }
+
   /** Kind-frequency histogram of a docs table: (kind, freq) rows, the input
     * to a PSI/KS drift check against a baseline snapshot. The explode feeds
     * a partial hash aggregate in the SAME stage (map-side combine), so the

@@ -187,11 +187,15 @@ object Dedup {
     * over only that rare-shingle prefix. A naive full-shingle index join
     * goes quadratic on any common shingle (measured 271 s on 5 k docs at
     * sf0.1); the prefix index keeps exact recall while candidates stay
-    * near-linear, and the AllPairs SIZE filter (t*|A| <= |B| <= |A|/t, a
-    * consequence of the Jaccard bound) prunes candidates before the verify
-    * fetch. Pipeline: df-count shuffle (linear) -> per-doc rank window
-    * (shuffle by id) -> prefix-index self-join + size filter -> one shingle
-    * fetch per surviving candidate side -> exact Jaccard verify.
+    * near-linear; the AllPairs SIZE filter (t*|A| <= |B| <= |A|/t, a
+    * consequence of the Jaccard bound) and the PPJoin POSITIONAL filter
+    * (Xiao et al.: a match at prefix positions (i, j) bounds the achievable
+    * overlap by 1 + min(|A|-i, |B|-j), which must reach the required
+    * overlap ceil(t/(1+t)*(|A|+|B|))) prune candidates before the dedup
+    * shuffle and verify fetch. Pipeline: df-count shuffle (linear) ->
+    * per-doc rank window (shuffle by id) -> prefix-index self-join + size +
+    * positional filters -> one shingle fetch per surviving candidate side
+    * -> exact Jaccard verify.
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
       threshold: Double = 0.8, n: Int = 3): DataFrame = {
@@ -209,9 +213,10 @@ object Dedup {
       // shorten the prefix below the exactness bound (a pair at exactly the
       // threshold could then be missed for unlucky thresholds)
       .where(col("rn") <= col("len") - ceil(lit(threshold) * col("len") - lit(1e-9)) + 1)
-      .select(col("shingle"), col("id"), col("len"))
+      .select(col("shingle"), col("id"), col("len"), col("rn"))
     val candidates = prefix
-      .join(prefix.select(col("shingle"), col("id").as("b"), col("len").as("lenb")),
+      .join(prefix.select(col("shingle"), col("id").as("b"),
+          col("len").as("lenb"), col("rn").as("rnb")),
         Seq("shingle"))
       .where(col("id") < col("b"))
       // AllPairs size filter (exactness-preserving): jaccard >= t forces
@@ -220,6 +225,14 @@ object Dedup {
       // pair is droppable by FP rounding
       .where(col("lenb") >= lit(threshold) * col("len") - lit(1e-9) &&
         lit(threshold) * col("lenb") <= col("len") + lit(1e-9))
+      // PPJoin positional filter (exactness-preserving): this row matched
+      // the shared shingle at (global-order) positions rn of A and rnb of
+      // B, so overlap reachable THROUGH THIS MATCH <= 1 + min(remaining).
+      // A qualifying pair's FIRST shared shingle always passes (its bound
+      // >= the true overlap >= the requirement), and one surviving row per
+      // pair is all the groupBy dedup needs — the epsilon only loosens.
+      .where(lit(1) + least(col("len") - col("rn"), col("lenb") - col("rnb")) >=
+        ceil(lit(threshold / (1 + threshold)) * (col("len") + col("lenb")) - lit(1e-9)))
       .select(col("id").as("a"), col("b"))
       .groupBy(col("a"), col("b")).agg(lit(1))
       .select(struct(col("a"), col("b")).as("p"))

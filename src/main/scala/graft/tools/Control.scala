@@ -35,4 +35,25 @@ object Control {
     val best = Seq(once(), once()).min
     n / best
   }
+
+  /** Rows/sec of a bare one-column parquet scan over `dir` — the SECOND
+    * control: [[hashRate]] is pure-register compute and shows the CPU
+    * ceiling, but the validate workload is dominated by parquet scan +
+    * decode, which saturates memory bandwidth well before the CPUs do.
+    * A campaign where validate scales worse than the hash control but no
+    * worse than this scan control has hit the machine's IO/bandwidth
+    * ceiling, not an engine bottleneck.
+    */
+  def scanRate(spark: SparkSession, dir: String): Double = {
+    def once(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = spark.read.parquet(dir)
+        .select(count(col("doc_id")), sum(crc32(col("doc_id"))))
+        .collect().head.getLong(0)
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    once()
+    val (secs, rows) = Seq(once(), once()).minBy(_._1)
+    rows / secs
+  }
 }

@@ -85,6 +85,33 @@ class ChecksSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(math.abs(ks - 0.2) < 0.01)
   }
 
+  test("auto-ranged KS discovers the true range; fixed-range clipping understates tail drift") {
+    // cur: uniform on [0, 100); base: half that, half a far outlier at 1000
+    val cur = spark.range(10000).select(($"id" % 100).cast("double").as("v"))
+    val base = spark.range(10000).select(
+      when($"id" % 2 === 0, ($"id" % 100).cast("double"))
+        .otherwise(lit(1000.0)).as("v"))
+    // truth: base puts 0.5 of its mass at 1000, so sup|CDF diff| = 0.5
+    val auto = Drift.ksAuto(cur, base, col("v"), buckets = 100)
+      .collect().head.getDouble(0)
+    assert(math.abs(auto - 0.5) < 0.02, s"auto KS $auto != ~0.5")
+    // auto equals manual bucketing at the true range
+    val manual = Drift.ksBucketed(cur, base, col("v"), 0.0, 1000.0, 100)
+      .collect().head.getDouble(0)
+    assert(auto == manual)
+    // a fixed guess of [0, 100) CLIPS the outliers into the top bucket:
+    // they stop being distinguishable from in-range mass and the measured
+    // drift drops — the silent failure ksAuto exists to prevent
+    val clipped = Drift.ksBucketed(cur, base, col("v"), 0.0, 100.0, 100)
+      .collect().head.getDouble(0)
+    assert(clipped < auto - 0.009, s"clipped $clipped should understate $auto")
+    // degenerate: all-null input -> null ks; constant input -> 0
+    val nulls = spark.range(5).select(lit(null).cast("double").as("v"))
+    assert(Drift.ksAuto(nulls, nulls, col("v")).collect().head.isNullAt(0))
+    val const = spark.range(5).select(lit(7.0).as("v"))
+    assert(Drift.ksAuto(const, const, col("v")).collect().head.getDouble(0) == 0.0)
+  }
+
   test("kind frequencies over the synthetic corpus") {
     import graft.gen.Synth
     val kf = Drift.kindFrequencies(Synth.corpusDF(spark, 90)).collect()

@@ -263,6 +263,16 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // reliable (non-executor-volatile) state actually hit the directory
     val wrote = java.nio.file.Files.walk(dir).filter(_.toFile.isFile).count()
     assert(wrote > 0, "no reliable checkpoint files written")
+    // ...and prior rounds' snapshots were GC'd: the chain takes several
+    // pointer-doubling rounds, but only the LAST round's rdd-* dir may
+    // remain (Spark itself never deletes checkpoints unless
+    // cleanCheckpoints is on — unbounded disk growth on long runs)
+    import scala.jdk.CollectionConverters._
+    val rddDirs = java.nio.file.Files.walk(dir, 3).iterator().asScala
+      .filter(p => p.toFile.isDirectory && p.getFileName.toString.startsWith("rdd-"))
+      .toVector
+    assert(rddDirs.size == 1,
+      s"expected exactly 1 surviving checkpoint dir, got: $rddDirs")
   }
 
   test("brute-force cosine top-k is deterministic and self-excludes correctly") {
