@@ -347,6 +347,30 @@ object SparkEntry {
     // FNV-1a hash (graft.expr.Fnv64), so DuckDB recomputes the full
     // pipeline — order-preserving distinct grams, signed-min window minima,
     // distinct count — in plain SQL
+    // PII scrub pass over a deterministic PII-bearing construction (the
+    // corpus text itself carries none): counts + redacted length, regexes
+    // re-run verbatim by the oracle (Java-regex/RE2-common subset only)
+    "text_pii_redaction" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val t = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" alt 555-7777 or ops@example.net"))
+          .otherwise(lit("")))
+      docs.select(col("doc_id"), TextAnalysis.piiCounts(t).as("c"),
+        length(TextAnalysis.redactPii(t)).as("len_redacted"))
+        .select(col("doc_id"), col("c.n_email"), col("c.n_ip"), col("c.n_phone"),
+          col("len_redacted"))
+    }),
+    // deterministic hash sampling: the kept set is a pure function of the
+    // key (stable across partitionings/cluster sizes — the reproducible
+    // 100 TB subset primitive); oracle recomputes the FNV-1a + pmod cut
+    "sample_hash_docs" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      TextAnalysis.sampleByHash(docs, col("doc_id"), 0.1, salt = "r4")
+        .select(col("doc_id"))
+    }),
     "text_fingerprints" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       docs.select(col("doc_id"),
@@ -763,6 +787,40 @@ object SparkEntry {
       // winnowing fingerprints: FNV-1a gram hashes (same modular-multiply
       // trick), order-preserving distinct (Spark array_distinct keeps first
       // occurrence), SIGNED window minima, distinct count
+      "text_pii_redaction" -> """
+        WITH p AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id::VARCHAR || '@example.com or call 555-' ||
+                 lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+                 ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7' ||
+                 CASE WHEN doc_id % 3 = 0 THEN ' alt 555-7777 or ops@example.net' ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_email,
+               len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::INT AS n_ip,
+               len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{4}\b'))::INT AS n_phone,
+               length(regexp_replace(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                 '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'))::INT AS len_redacted
+        FROM p
+      """.trim,
+      // FNV-1a over (doc_id || salt), pmod 1e6 < 100000 — the HUGEINT
+      // modular-multiply recompute, signed like Spark's pmod
+      "sample_hash_docs" -> """
+        WITH h AS (
+          SELECT doc_id,
+            list_reduce(
+              list_prepend(14695981039346656037::UBIGINT,
+                list_transform(generate_series(1, length(doc_id::VARCHAR || 'r4')),
+                  i -> ascii(substr(doc_id::VARCHAR || 'r4', i, 1))::UBIGINT)),
+              (acc, b) -> ((xor(acc, b)::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT)::HUGEINT AS u
+          FROM documents)
+        SELECT doc_id FROM h
+        WHERE ((CASE WHEN u >= 9223372036854775808::HUGEINT
+                     THEN u - 18446744073709551616::HUGEINT ELSE u END) % 1000000
+               + 1000000) % 1000000 < 100000
+      """.trim,
       "text_fingerprints" -> """
         WITH t AS (
           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents

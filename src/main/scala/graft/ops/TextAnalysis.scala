@@ -98,6 +98,51 @@ object TextAnalysis {
       size(array_distinct(grams)).as("n_distinct"))
   }
 
+  /** PII patterns for [[redactPii]] — deliberately conservative regexes
+    * using only constructs with identical semantics in Java regex and RE2
+    * (character classes, bounded repeats, \b), so the DuckDB oracle can
+    * re-run them verbatim.
+    */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePat = "\\b[0-9]{3}-[0-9]{4}\\b"
+  val Ipv4Pat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction (the standard pretraining scrub pass): emails, then
+    * IPv4 addresses, then phone-shaped digit groups are replaced with
+    * typed placeholders. Order matters — the email pattern consumes
+    * dotted hosts before the IP pattern can mis-tag them. Pure codegen'd
+    * regexp_replace chain: no shuffle, no UDF, embarrassingly parallel.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPat, "<EMAIL>"),
+        Ipv4Pat, "<IP>"),
+      PhonePat, "<PHONE>")
+
+  /** Per-kind PII match counts on the raw text (audit companion of
+    * [[redactPii]]).
+    */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(EmailPat), lit(0))).as("n_email"),
+    size(regexp_extract_all(text, lit(Ipv4Pat), lit(0))).as("n_ip"),
+    size(regexp_extract_all(text, lit(PhonePat), lit(0))).as("n_phone"))
+
+  /** Deterministic hash sampling: keep a row iff
+    * pmod(fnv64(key || salt), 1e6) < rate * 1e6. Unlike `df.sample`, the
+    * kept set is a pure function of the KEY — stable across reruns,
+    * partitionings, cluster sizes, and Spark versions, which is what a
+    * reproducible 100 TB training-data subset requires (and what lets the
+    * DuckDB oracle recompute the exact sample). Different `salt` values
+    * draw independent samples; map-side filter, no shuffle.
+    */
+  def sampleByHash(df: DataFrame, key: Column, rate: Double,
+      salt: String = ""): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
+    df.where(pmod(graft.expr.SketchExprs.fnv64(concat(key.cast("string"), lit(salt))),
+      lit(1000000L)) < lit(math.round(rate * 1000000L)))
+  }
+
   /** Winnowing-style document fingerprint: k-gram hashes, window minima,
     * distinct — robust to small edits. Composed from higher-order
     * functions; `size(array_intersect(fp_a, fp_b))` estimates overlap.

@@ -337,6 +337,41 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == Seq("en", "de", "es", "fr", "und"))
   }
 
+  test("PII redaction scrubs emails/IPs/phones and counts them") {
+    val rows = Seq(
+      ("d1", "mail me at alice.smith+x@sub.example.org today"),
+      ("d2", "server 192.168.0.1 and 10.0.0.7 responded, call 555-0123"),
+      ("d3", "no pii here at all"),
+      ("d4", "two mails a@b.io c@d.co and 555-9999")).toDF("id", "text")
+    val out = rows.select($"id",
+        TextAnalysis.redactPii($"text").as("r"),
+        TextAnalysis.piiCounts($"text").as("c"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getStruct(2).getInt(0), r.getStruct(2).getInt(1),
+          r.getStruct(2).getInt(2))).toMap
+    assert(out("d1") == (("mail me at <EMAIL> today", 1, 0, 0)))
+    assert(out("d2") == (("server <IP> and <IP> responded, call <PHONE>", 0, 2, 1)))
+    assert(out("d3") == (("no pii here at all", 0, 0, 0)))
+    assert(out("d4") == (("two mails <EMAIL> <EMAIL> and <PHONE>", 2, 0, 1)))
+  }
+
+  test("hash sampling is deterministic, partition-independent, salt-sensitive") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = ids(TextAnalysis.sampleByHash(docs, $"doc_id", 0.2))
+    val s2 = ids(TextAnalysis.sampleByHash(docs.repartition(13), $"doc_id", 0.2))
+    assert(s1 == s2, "sample depends on partitioning")
+    // rate is approximately honored (binomial over 500 docs)
+    assert(s1.size > 50 && s1.size < 150, s"rate off: ${s1.size}/500")
+    // nested property: a higher-rate sample CONTAINS the lower-rate one
+    // (same hash, larger cut — stable subsets as the budget grows)
+    val s3 = ids(TextAnalysis.sampleByHash(docs, $"doc_id", 0.5))
+    assert(s1.subsetOf(s3))
+    // different salt draws a different (overlapping-by-chance) sample
+    val salted = ids(TextAnalysis.sampleByHash(docs, $"doc_id", 0.2, salt = "x"))
+    assert(salted != s1)
+  }
+
   test("fingerprints are stable under small edits, distinct for different docs") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog and runs far away tonight"),
