@@ -430,6 +430,52 @@ object SparkEntry {
           (abs(col("est_source") - col("distinct_source")) <=
             lit(0.05) * col("distinct_source")).cast("int").as("source_est_ok"))
     }),
+    // Quantile sketch bound-check (the percentile face of the
+    // col_stats_sketch pattern): percentile_approx (Greenwald-Khanna,
+    // mergeable, one pass at corpus scale) self-audited by a rank check —
+    // the fraction of rows at or below the reported quantile must sit
+    // within the sketch's rank-error guarantee (1/accuracy) plus the
+    // discreteness step (ties collapse many ranks onto one value; bound by
+    // the largest tie group). The oracle recomputes n_rows exactly and
+    // pins every flag at 1.
+    "col_stats_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ps = Seq(0.5, 0.9, 0.99)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val lens = docs.where(col("text").isNotNull)
+        .select(length(col("text")).cast("long").as("v"))
+      val accuracy = 1000
+      val eps = 1.0 / accuracy
+      val qs = lens.agg(
+        percentile_approx(col("v"), typedLit(ps), lit(accuracy))
+          .as("q")).collect().head.getSeq[Long](0)
+      // exact discrete quantile by explicit rank math (the same integer
+      // definition the DuckDB oracle uses: smallest v whose cumulative
+      // count reaches ceil(p*n)) — cross-engine, no FP interpolation
+      val nRows = lens.count()
+      val cum = lens.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
+        .select(col("v"), col("cum")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val exact = ps.map(p =>
+        cum.find(_._2 >= math.ceil(p * nRows).toLong).get._1)
+      // GK guarantee: the value reported for p has RANK within
+      // [(p-eps)n, (p+eps)n]. Rank-check the sketch against the data:
+      //   frac(v <= q) >= p - eps  (q not too small), and
+      //   frac(v <  q) <= p + eps  (q not too large).
+      val aggCols =
+        count(lit(1)).as("n_rows") +:
+        ps.zip(exact).map { case (p, e) =>
+          lit(e).as(s"exact_p${(p * 100).toInt}") } ++:
+        ps.zip(qs).map { case (p, q) =>
+          val n = count(lit(1)).cast("double")
+          val le = count(when(col("v") <= q, 1)).cast("double") / n
+          val lt = count(when(col("v") < q, 1)).cast("double") / n
+          (le >= lit(p - eps) && lt <= lit(p + eps))
+            .cast("int").as(s"p${(p * 100).toInt}_ok")
+        }
+      lens.agg(aggCols.head, aggCols.tail: _*)
+    }),
     // tumbling-hour event counts (batch form of the streaming windowed agg)
     "events_hourly" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -508,6 +554,21 @@ object SparkEntry {
                count(DISTINCT source)::BIGINT AS distinct_source,
                1::INT AS text_est_ok, 1::INT AS source_est_ok
         FROM documents
+      """.trim,
+      // exact discrete quantiles by the shared integer rank definition
+      // (smallest v with cumulative count >= ceil(p*n)); the *_ok flags are
+      // Spark's self-audit of percentile_approx against the GK rank
+      // guarantee, pinned at 1
+      "col_stats_quantiles" -> """
+        WITH l AS (SELECT length(text)::BIGINT AS v FROM documents WHERE text IS NOT NULL),
+             nn AS (SELECT count(*) AS n FROM l),
+             cc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum
+                    FROM (SELECT v, count(*) AS c FROM l GROUP BY v))
+        SELECT (SELECT n FROM nn)::BIGINT AS n_rows,
+               (SELECT min(v) FROM cc, nn WHERE cum >= ceil(0.5 * n)) AS exact_p50,
+               (SELECT min(v) FROM cc, nn WHERE cum >= ceil(0.9 * n)) AS exact_p90,
+               (SELECT min(v) FROM cc, nn WHERE cum >= ceil(0.99 * n)) AS exact_p99,
+               1::INT AS p50_ok, 1::INT AS p90_ok, 1::INT AS p99_ok
       """.trim,
       "length_hist_documents" -> """
         SELECT least(length(text) // 100, 63)::INT AS bucket, count(*)::BIGINT AS cnt
