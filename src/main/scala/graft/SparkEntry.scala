@@ -280,11 +280,12 @@ object SparkEntry {
       top.withColumn("rank", row_number().over(w).cast("long"))
         .select(col("rank"), col("id").as("vec_id"))
     }),
-    // token counting (whitespace tokens per doc)
+    // token counting: whitespace tokens + BPE-ish subword pieces per doc
     "text_token_counts" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       docs.select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))
     }),
     // quality metrics + gate per doc (integer-only for oracle parity)
     "text_quality" -> ((s, dir) => {
@@ -794,8 +795,11 @@ object SparkEntry {
         SELECT row_number() OVER (ORDER BY sim DESC, vec_id) AS rank, vec_id
         FROM scored ORDER BY sim DESC, vec_id LIMIT 10
       """.trim,
-      "text_token_counts" ->
-        "SELECT doc_id, len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens FROM documents",
+      "text_token_counts" -> """
+        SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_subwords
+        FROM documents
+      """.trim,
       "text_quality" -> s"""
         WITH m AS (
           SELECT doc_id, length(text) AS n_chars,

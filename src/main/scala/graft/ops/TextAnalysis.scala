@@ -15,13 +15,15 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
-  /** BPE-ish subword count: word-piece regex (letters runs, digit runs,
-    * punctuation singles) — the usual cheap proxy for tokenizer load.
+  /** BPE-ish subword count: word pieces = letter runs + digit runs +
+    * single non-space punctuation marks — the usual cheap proxy for
+    * tokenizer load. Extract-all formulation (not boundary split): no
+    * whitespace pieces, and the pattern stays inside the Java-regex/RE2
+    * common subset so the DuckDB oracle re-runs it (ASCII classes there;
+    * identical on the all-ASCII corpus).
     */
   def subwordCount(text: Column): Column =
-    size(filter(
-      split(text, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
-      t => length(t) > 0))
+    size(regexp_extract_all(text, lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)))
 
   /** Quality metrics struct: n_chars, n_tokens, punct chars, digit chars,
     * stopword hits, mean token length — inputs for a curation filter.

@@ -316,6 +316,16 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(3, 1, 0, 1))
   }
 
+  test("subword counts: letter runs + digit runs + punct singles, no whitespace pieces") {
+    val df = Seq(
+      "hello, world!",   // hello , world !        -> 4
+      "abc123def",       // abc 123 def            -> 3
+      "  spaced   out ", // spaced out             -> 2
+      "a--b",            // a - - b                -> 4
+      "").toDF("t").select(TextAnalysis.subwordCount($"t").as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(4, 3, 2, 4, 0))
+  }
+
   test("quality metrics and gate") {
     val good = Seq("the quick brown fox jumps over the lazy dog again and again").toDF("t")
     val bad = Seq("1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16").toDF("t")
