@@ -69,6 +69,12 @@ object ScalingBench {
     val ceiling = math.min(effHash, effScan)
     val verdict =
       if (eff >= 0.8) "PASS (raw)"
+      // controls CANNOT scale superlinearly on a healthy machine: a control
+      // efficiency well above 1 means the N leg ran in a degraded window
+      // (host page-cache/neighbor pressure hit the small leg), so neither
+      // legs' ratio measures the engine — the window self-diagnoses invalid
+      else if (math.max(effHash, effScan) > 1.05)
+        "INVALID WINDOW (controls scaled superlinearly — N-leg environment degraded; discard and re-run)"
       else if (eff >= ceiling)
         "PASS vs same-window machine ceiling (raw below 0.8, but the weaker of the CPU/scan controls scaled no better in this window)"
       else if (eff / ceiling >= 0.8) "WEAK (within 80% of the same-window ceiling)"
