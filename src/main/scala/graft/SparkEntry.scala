@@ -97,6 +97,32 @@ object SparkEntry {
           count(when(!$"passed", 1)).as("n_failed"),
           count(lit(1)).as("n_docs"))
     }),
+    // span-sequence invariant check (north-star per-row invariant: kind,
+    // text, media_ref, ORDER) over the synthetic corpus with deterministic
+    // corruption injected — every 7th doc's spans reversed (order break),
+    // every 11th doc's media_refs nulled (media break); counts are
+    // closed-form in doc_id for the oracle
+    "span_invariant_check" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id".cast("long")).as[java.lang.Long]
+      val docs = Synth.corpusFromIds(ids).toDF()
+      val corrupted = docs
+        .withColumn("spans",
+          when(substring($"doc_id", 5, 20).cast("long") % 7 === 0, reverse($"spans"))
+            .otherwise($"spans"))
+        .withColumn("spans",
+          when(substring($"doc_id", 5, 20).cast("long") % 11 === 0,
+            transform($"spans", sp => struct(
+              sp.getField("kind").as("kind"), sp.getField("text").as("text"),
+              lit(null).cast("string").as("media_ref"),
+              sp.getField("offset").as("offset"))))
+            .otherwise($"spans"))
+      checks.SpanInvariant.check(corrupted).agg(
+        count(lit(1)).as("n_docs"),
+        count(when(not($"span_order_ok"), 1)).as("n_order_bad"),
+        count(when(not($"media_ref_ok"), 1)).as("n_media_bad"))
+    }),
     // exact uniqueness with two-phase salted aggregation (north-star op)
     "unique_dup_orderkeys" -> ((s, dir) => {
       val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -524,6 +550,15 @@ object SparkEntry {
       """.trim,
       "marc_corpus_passed" -> ("SELECT count(*) FILTER (WHERE doc_id % 9 = 0) AS n_passed, "
         + "count(*) FILTER (WHERE doc_id % 9 <> 0) AS n_failed, count(*) AS n_docs FROM documents"),
+      // every Synth doc carries >= 3 spans (LDR + 008 + media at minimum),
+      // so every reversed doc breaks order and every stripped doc breaks
+      // media pairing — counts are exactly the divisibility classes
+      "span_invariant_check" -> """
+        SELECT count(*)::BIGINT AS n_docs,
+               count(*) FILTER (WHERE doc_id % 7 = 0)::BIGINT AS n_order_bad,
+               count(*) FILTER (WHERE doc_id % 11 = 0)::BIGINT AS n_media_bad
+        FROM documents
+      """.trim,
       "unique_dup_orderkeys" -> """
         SELECT count(*)::BIGINT AS n_dup_keys, coalesce(sum(n - 1), 0)::BIGINT AS n_surplus_rows
         FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1)
