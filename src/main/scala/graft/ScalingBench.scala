@@ -74,7 +74,7 @@ object ScalingBench {
       // (host page-cache/neighbor pressure hit the small leg), so neither
       // legs' ratio measures the engine — the window self-diagnoses invalid
       else if (math.max(effHash, effScan) > 1.05)
-        "INVALID WINDOW (controls scaled superlinearly — N-leg environment degraded; discard and re-run)"
+        "INVALID WINDOW (controls scaled superlinearly - N-leg environment degraded; discard and re-run)"
       else if (eff >= ceiling)
         "PASS vs same-window machine ceiling (raw below 0.8, but the weaker of the CPU/scan controls scaled no better in this window)"
       else if (eff / ceiling >= 0.8) "WEAK (within 80% of the same-window ceiling)"
