@@ -165,6 +165,19 @@ object SparkEntry {
         col("event_type"))
         .select(round(col("psi"), 6).as("psi"))
     }),
+    // per-group PSI (the batch face of the streaming windowed drift check,
+    // Drift.psiGrouped + StreamingValidation.kindFrequencyStream): hourly
+    // event-type mixes scored against the corpus-wide histogram
+    "drift_psi_hourly" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val grouped = ev
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type").as("cat"))
+        .agg(count(lit(1)).as("n"))
+      val baseline = ev.groupBy(col("event_type").as("cat"))
+        .agg(count(lit(1)).as("n_base"))
+      Drift.psiGrouped(grouped, baseline, col("h"), col("cat"), col("n"))
+        .select(col("g").as("hour_ts"), round(col("psi"), 6).as("psi"))
+    }),
     // bucketed-CDF KS drift over the value column
     "drift_ks_events" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -618,6 +631,23 @@ object SparkEntry {
              pq AS (SELECT greatest(n_cur / (SELECT sum(n_cur) FROM j), 1e-6) AS p,
                            greatest(n_base / (SELECT sum(n_base) FROM j), 1e-6) AS q FROM j)
         SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM pq
+      """.trim,
+      "drift_psi_hourly" -> """
+        WITH cur AS (SELECT date_trunc('hour', ts) AS h, event_type AS cat, count(*) AS n_cur
+                     FROM events GROUP BY 1, 2),
+             base AS (SELECT event_type AS cat, count(*) AS n_base FROM events GROUP BY 1),
+             frame AS (SELECT h, cat FROM (SELECT DISTINCT h FROM cur) CROSS JOIN base
+                       UNION SELECT h, cat FROM cur),
+             j AS (SELECT f.h, coalesce(c.n_cur, 0) AS n_cur, coalesce(b.n_base, 0) AS n_base
+                   FROM frame f
+                   LEFT JOIN cur c ON f.h = c.h AND f.cat = c.cat
+                   LEFT JOIN base b ON f.cat = b.cat),
+             pq AS (SELECT h,
+                      greatest(n_cur / sum(n_cur) OVER (PARTITION BY h), 1e-6) AS p,
+                      greatest(n_base / (SELECT sum(n_base) FROM base), 1e-6) AS q
+                    FROM j)
+        SELECT h AS hour_ts, round(sum((p - q) * ln(p / q)), 6) AS psi
+        FROM pq GROUP BY h
       """.trim,
       "drift_ks_events" -> """
         WITH h AS (

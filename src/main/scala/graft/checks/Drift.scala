@@ -98,4 +98,42 @@ object Drift {
     docs
       .select(explode(col("spans.kind")).as("kind"))
       .groupBy(col("kind")).agg(count(lit(1)).as("freq"))
+
+  /** Per-group PSI of observed (group, cat, n) counts against one baseline
+    * (cat, n_base) histogram — the drift statistic per event-time window
+    * (feed [[graft.streaming.StreamingValidation.kindFrequencyStream]]'s
+    * closed windows in as `grouped`), per source shard, per day, etc.
+    *
+    * The baseline is tiny (category cardinality) and rides a broadcast
+    * join; categories present in the baseline but absent from a group
+    * still contribute (a vanished category IS drift), via a per-group
+    * fill-in of the full baseline category set. One shuffle on (group).
+    */
+  def psiGrouped(grouped: DataFrame, baseline: DataFrame,
+      group: Column, category: Column, n: Column): DataFrame = {
+    val cur = grouped.select(group.as("g"), category.as("cat"), n.as("n_cur"))
+    val base = baseline.groupBy(col("cat")).agg(sum(col("n_base")).as("n_base"))
+    // per-group FULL category frame (the grouped analog of psi's full-outer
+    // join): the group's own categories union the baseline's, so both a
+    // vanished category (in baseline, absent from the window) and a novel
+    // one (in the window, absent from baseline) register as drift
+    val frame = cur.select(col("g"), col("cat"))
+      .unionByName(cur.select(col("g")).distinct()
+        .crossJoin(broadcast(base.select(col("cat")))))
+      .distinct()
+    frame.join(cur, Seq("g", "cat"), "left_outer")
+      .join(broadcast(base), Seq("cat"), "left_outer")
+      .na.fill(0L, Seq("n_cur", "n_base"))
+      .select(col("g"), col("n_cur"), col("n_base"))
+      .withColumn("p", greatest(
+        col("n_cur") / sum(col("n_cur")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("g"))),
+        lit(Epsilon)))
+      .withColumn("q", greatest(
+        col("n_base") / sum(col("n_base")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("g"))),
+        lit(Epsilon)))
+      .groupBy(col("g"))
+      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
+  }
 }

@@ -40,6 +40,22 @@ object StreamingValidation {
       .groupBy(window(col(tsCol), windowLen), col("passed"))
       .agg(count(lit(1)).as("n"))
 
+  /** Windowed span-kind frequencies on a streaming docs frame: watermarked
+    * tumbling windows x kind -> counts — the streaming input to the drift
+    * check ([[graft.checks.Drift.psiGrouped]] turns each CLOSED window's
+    * histogram into a PSI against a baseline snapshot; run it in
+    * foreachBatch or over the sink table). Same shape as the batch
+    * [[graft.checks.Drift.kindFrequencies]]: the explode feeds a partial
+    * aggregate map-side, only (window, kind, partial-count) rows shuffle.
+    */
+  def kindFrequencyStream(docs: DataFrame, tsCol: String,
+      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(col("spans.kind")).as("kind"))
+      .groupBy(window(col(tsCol), windowLen), col("kind"))
+      .agg(count(lit(1)).as("n"))
+
   /** One streamed dedup input row. */
   final case class DedupIn(khash: Long, key: String, doc_id: String,
       ts: java.sql.Timestamp)

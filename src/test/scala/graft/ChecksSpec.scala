@@ -112,6 +112,32 @@ class ChecksSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Drift.ksAuto(const, const, col("v")).collect().head.getDouble(0) == 0.0)
   }
 
+  test("grouped PSI matches scalar PSI per group, incl. vanished/novel categories") {
+    val base = Seq(("a", 50L), ("b", 30L), ("c", 20L)).toDF("cat", "n_base")
+    val cur = Seq(
+      ("g1", "a", 10L), ("g1", "b", 80L), ("g1", "c", 10L), // shifted
+      ("g2", "a", 500L), ("g2", "b", 300L), ("g2", "c", 200L), // same mix
+      ("g3", "a", 50L), ("g3", "b", 30L), ("g3", "d", 20L)) // novel d, vanished c
+      .toDF("g", "cat", "n")
+    val got = Drift.psiGrouped(cur, base, col("g"), col("cat"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // scalar reference: expand counts to raw rows and run Drift.psi per group
+    def expand(rows: Seq[(String, Long)]) =
+      rows.flatMap { case (c, n) => Seq.fill(n.toInt)(c) }.toDF("c")
+    val baseRaw = expand(Seq("a" -> 50L, "b" -> 30L, "c" -> 20L))
+    val curRows = Map(
+      "g1" -> Seq("a" -> 10L, "b" -> 80L, "c" -> 10L),
+      "g2" -> Seq("a" -> 500L, "b" -> 300L, "c" -> 200L),
+      "g3" -> Seq("a" -> 50L, "b" -> 30L, "d" -> 20L))
+    curRows.foreach { case (g, rows) =>
+      val scalar = Drift.psi(expand(rows), baseRaw, col("c"))
+        .collect().head.getDouble(0)
+      assert(math.abs(got(g) - scalar) < 1e-12, s"$g: ${got(g)} vs $scalar")
+    }
+    assert(got("g2") == 0.0)          // identical mix -> exactly 0
+    assert(got("g3") > 1.0)           // novel + vanished category -> loud
+  }
+
   test("kind frequencies over the synthetic corpus") {
     import graft.gen.Synth
     val kf = Drift.kindFrequencies(Synth.corpusDF(spark, 90)).collect()

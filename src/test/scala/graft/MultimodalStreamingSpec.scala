@@ -184,6 +184,44 @@ class MultimodalStreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("streaming: windowed kind frequencies match batch; per-window PSI vs baseline") {
+    import graft.checks.Drift
+    val dir = Files.createTempDirectory("graft-stream3").toString
+    val docs = Synth.corpusDF(spark, 90)
+      .withColumn("ts", timestamp_seconds(
+        unix_timestamp(to_timestamp(lit("2026-01-01 00:00:00"))) +
+          // (id/9)%3: consecutive blocks of 9 ids (one per defect class) per
+          // window, so every window carries the full class mix — drift vs
+          // the corpus-wide histogram is then exactly zero
+          ((substring($"doc_id", 5, 20).cast("long") / 9).cast("long") % 3) * 3600))
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamingValidation.kindFrequencyStream(stream, "ts")
+      .writeStream.format("memory").queryName("kindfreq_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("kindfreq_stream")
+      .select($"window.start".as("w"), $"kind", $"n")
+    // parity with the batch windowed aggregate on the same data
+    val batch = spark.read.parquet(s"$dir/in")
+      .select($"ts", explode($"spans.kind").as("kind"))
+      .groupBy(window($"ts", "1 hour"), $"kind")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w"), $"kind", $"n")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // closed windows -> PSI against the corpus-wide kind histogram: every
+    // window holds 30 docs of identical class mix (ids stripe mod 9 and
+    // windows stripe mod 3), so drift vs the overall histogram is ~0 —
+    // except class-striping remainders; assert all PSIs are small & finite
+    val baseline = Drift.kindFrequencies(spark.read.parquet(s"$dir/in"))
+      .select($"kind".as("cat"), $"freq".as("n_base"))
+    val psis = Drift.psiGrouped(streamed, baseline, $"w", $"kind", $"n")
+      .collect().map(r => r.getDouble(1))
+    assert(psis.length == 3)
+    assert(psis.forall(p => p >= 0 && p < 0.1), s"unexpected drift: ${psis.toSeq}")
+  }
+
   test("streaming: watermarked windowed violation-rate aggregates by hour") {
     import java.sql.Timestamp
     val dir = Files.createTempDirectory("graft-stream2").toString
