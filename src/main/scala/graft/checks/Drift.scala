@@ -108,6 +108,11 @@ object Drift {
     * join; categories present in the baseline but absent from a group
     * still contribute (a vanished category IS drift), via a per-group
     * fill-in of the full baseline category set. One shuffle on (group).
+    *
+    * @param grouped  observed counts; `group`/`category`/`n` name its columns
+    * @param baseline histogram with columns named `cat` and `n_base`
+    *                 (e.g. `kindFrequencies(...).select($"kind".as("cat"),
+    *                 $"freq".as("n_base"))`)
     */
   def psiGrouped(grouped: DataFrame, baseline: DataFrame,
       group: Column, category: Column, n: Column): DataFrame = {
