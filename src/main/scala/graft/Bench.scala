@@ -88,7 +88,11 @@ object Bench {
     val (valSec, _) = phase("timed_validate") { timeValidate(spark, dir) }
     val ctlPost = phase("control_post") { tools.Control.hashRate(spark, nCores) }
     val docsPerSec = nDocs / valSec
-    val ctl = math.min(ctlPre, ctlPost)
+    // geometric mean of the bracketing controls: min() systematically
+    // inflated the normalized headline when one control window degraded
+    // (round-4 ADVICE); both raw readings still ship in the JSON so either
+    // normalization is recoverable
+    val ctl = math.sqrt(ctlPre * ctlPost)
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double](
       "marc_validate" -> valSec)

@@ -241,6 +241,18 @@ object SparkEntry {
       Dedup.dupClusters(pairs.select(col("a"), col("b")))
         .select(col("id").as("doc_id"), col("cluster"))
     }),
+    // the composed keep-one dedup pipeline (pairs -> connected components ->
+    // min-id survivor per cluster -> deduped corpus): the operator users
+    // actually run. Oracle: the dedup_clusters recursive CTE extended with
+    // min-per-component, anti-filtering the corpus; the surviving TEXT
+    // byte-compares, not just the id list.
+    "dedup_keep_one" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.8, inputPartitions = s.sparkContext.defaultParallelism)
+      Dedup.keepOnePerCluster(docs, col("doc_id"), pairs.select(col("a"), col("b")))
+        .select(col("doc_id"), col("text"))
+    }),
     // inverted-index exact n-gram Jaccard pairs (the small-corpus baseline
     // the LSH path is validated against); same oracle SQL as dedup_near_pairs
     "dedup_ngram_pairs" -> ((s, dir) => {
@@ -479,42 +491,63 @@ object SparkEntry {
     // the largest tie group). The oracle recomputes n_rows exactly and
     // pins every flag at 1.
     "col_stats_quantiles" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ps = Seq(0.5, 0.9, 0.99)
+      val ps = Seq(50, 90, 99)
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val lens = docs.where(col("text").isNotNull)
         .select(length(col("text")).cast("long").as("v"))
       val accuracy = 1000
       val eps = 1.0 / accuracy
       val qs = lens.agg(
-        percentile_approx(col("v"), typedLit(ps), lit(accuracy))
+        percentile_approx(col("v"), typedLit(ps.map(_ / 100.0)), lit(accuracy))
           .as("q")).collect().head.getSeq[Long](0)
-      // exact discrete quantile by explicit rank math (the same integer
-      // definition the DuckDB oracle uses: smallest v whose cumulative
-      // count reaches ceil(p*n)) — cross-engine, no FP interpolation
-      val nRows = lens.count()
-      val cum = lens.groupBy(col("v")).agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
-        .select(col("v"), col("cum")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      val exact = ps.map(p =>
-        cum.find(_._2 >= math.ceil(p * nRows).toLong).get._1)
+      // exact discrete quantiles computed DISTRIBUTIVELY (range-partitioned
+      // prefix-sum CDF; only the 1-row result is collected) with shared
+      // integer rank math — smallest v with cumulative count >=
+      // ceilDiv(p*n, 100), the same definition the DuckDB oracle uses
+      val ex = checks.ExactQuantile.percentiles(lens, col("v"), ps)
+        .collect().head
+      val nRows = ex.getLong(0)
+      val exact = ps.indices.map(i => ex.getLong(i + 1))
       // GK guarantee: the value reported for p has RANK within
       // [(p-eps)n, (p+eps)n]. Rank-check the sketch against the data:
       //   frac(v <= q) >= p - eps  (q not too small), and
       //   frac(v <  q) <= p + eps  (q not too large).
       val aggCols =
         count(lit(1)).as("n_rows") +:
-        ps.zip(exact).map { case (p, e) =>
-          lit(e).as(s"exact_p${(p * 100).toInt}") } ++:
+        ps.zip(exact).map { case (p, e) => lit(e).as(s"exact_p$p") } ++:
         ps.zip(qs).map { case (p, q) =>
           val n = count(lit(1)).cast("double")
           val le = count(when(col("v") <= q, 1)).cast("double") / n
           val lt = count(when(col("v") < q, 1)).cast("double") / n
-          (le >= lit(p - eps) && lt <= lit(p + eps))
-            .cast("int").as(s"p${(p * 100).toInt}_ok")
+          (le >= lit(p / 100.0 - eps) && lt <= lit(p / 100.0 + eps))
+            .cast("int").as(s"p${p}_ok")
         }
       lens.agg(aggCols.head, aggCols.tail: _*)
+    }),
+    // batch-query ANN, brute-force exact: a TABLE of queries (every 100th
+    // embedding) against the corpus in ONE job — broadcast queries, map-side
+    // scoring, bounded TopKAgg per query (the shuffle carries <= k rows per
+    // task per query). Oracle: per-query brute force in DuckDB.
+    "ann_batch_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.where(col("vec_id") % 100 === 0)
+      Similarity.topKCosineBatch(emb, col("vec_id"), col("embedding"),
+          q, col("vec_id"), col("embedding"), k = 10)
+        .select(col("qid"), col("rank"), col("id").as("vec_id"))
+    }),
+    // batch-query ANN through the IVF index machinery: per-query ranked
+    // probe clusters fan out map-only, the (cluster, query) rows broadcast
+    // against the inverted lists, grouped bounded top-k. Full probe
+    // (nProbe = k) is exact by construction — the same brute-force oracle
+    // pins train/assign/probe/rank end-to-end for the BATCH path.
+    "ann_batch_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.where(col("vec_id") % 100 === 0)
+      val model = ops.Ivf.train(emb, col("vec_id"), col("embedding"), k = 16, iters = 2)
+      val index = ops.Ivf.assign(emb, col("vec_id"), col("embedding"), model)
+      ops.Ivf.searchBatch(index, model, q, col("vec_id"), col("embedding"),
+          topK = 10, nProbe = 16)
+        .select(col("qid"), col("rank"), col("id").as("vec_id"))
     }),
     // tumbling-hour event counts (batch form of the streaming windowed agg)
     "events_hourly" -> ((s, dir) => {
@@ -604,20 +637,44 @@ object SparkEntry {
                1::INT AS text_est_ok, 1::INT AS source_est_ok
         FROM documents
       """.trim,
-      // exact discrete quantiles by the shared integer rank definition
-      // (smallest v with cumulative count >= ceil(p*n)); the *_ok flags are
-      // Spark's self-audit of percentile_approx against the GK rank
-      // guarantee, pinned at 1
+      // exact discrete quantiles by the shared INTEGER rank definition
+      // (smallest v with cumulative count >= (n*p + 99) // 100 — no FP ceil
+      // on either engine); the *_ok flags are Spark's self-audit of
+      // percentile_approx against the GK rank guarantee, pinned at 1
       "col_stats_quantiles" -> """
         WITH l AS (SELECT length(text)::BIGINT AS v FROM documents WHERE text IS NOT NULL),
              nn AS (SELECT count(*) AS n FROM l),
              cc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum
                     FROM (SELECT v, count(*) AS c FROM l GROUP BY v))
         SELECT (SELECT n FROM nn)::BIGINT AS n_rows,
-               (SELECT min(v) FROM cc, nn WHERE cum >= ceil(0.5 * n)) AS exact_p50,
-               (SELECT min(v) FROM cc, nn WHERE cum >= ceil(0.9 * n)) AS exact_p90,
-               (SELECT min(v) FROM cc, nn WHERE cum >= ceil(0.99 * n)) AS exact_p99,
+               (SELECT min(v) FROM cc, nn WHERE cum >= (n * 50 + 99) // 100) AS exact_p50,
+               (SELECT min(v) FROM cc, nn WHERE cum >= (n * 90 + 99) // 100) AS exact_p90,
+               (SELECT min(v) FROM cc, nn WHERE cum >= (n * 99 + 99) // 100) AS exact_p99,
                1::INT AS p50_ok, 1::INT AS p90_ok, 1::INT AS p99_ok
+      """.trim,
+      // per-query brute force: both batch paths (broadcast brute-force and
+      // IVF full probe) must reproduce this exactly
+      "ann_batch_topk" -> """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+             scored AS (
+          SELECT q.qid, e.vec_id, list_cosine_similarity(e.embedding, q.qe) AS sim
+          FROM embeddings e, q)
+        SELECT qid, rank, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+          FROM scored)
+        WHERE rank <= 10
+      """.trim,
+      "ann_batch_ivf" -> """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+             scored AS (
+          SELECT q.qid, e.vec_id, list_cosine_similarity(e.embedding, q.qe) AS sim
+          FROM embeddings e, q)
+        SELECT qid, rank, vec_id FROM (
+          SELECT qid, vec_id,
+                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+          FROM scored)
+        WHERE rank <= 10
       """.trim,
       "length_hist_documents" -> """
         SELECT least(length(text) // 100, 63)::INT AS bucket, count(*)::BIGINT AS cnt
@@ -784,6 +841,42 @@ object SparkEntry {
           SELECT e.x AS id, cc.label FROM edges e JOIN cc ON cc.id = e.y
         )
         SELECT id AS doc_id, min(label)::BIGINT AS cluster FROM cc GROUP BY id
+      """.trim,
+      // same recursive-CTE reachability as dedup_clusters, extended with the
+      // keep-one step: drop every cluster member except its minimum id
+      "dedup_keep_one" -> """
+        WITH RECURSIVE t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+        ), shq AS (
+          SELECT doc_id,
+            list_distinct(CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+              ELSE [array_to_string(toks, ' ')] END) AS sh
+          FROM t
+        ), inv AS (
+          SELECT doc_id, unnest(sh) AS g FROM shq
+        ), cand AS (
+          SELECT l.doc_id AS a, r.doc_id AS b FROM inv l JOIN inv r USING (g)
+          WHERE l.doc_id < r.doc_id GROUP BY 1, 2
+        ), pairs AS (
+          SELECT a, b FROM cand
+          JOIN shq sa ON sa.doc_id = cand.a
+          JOIN shq sb ON sb.doc_id = cand.b
+          WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+        ), edges AS (
+          SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs
+        ), cc AS (
+          SELECT DISTINCT x AS id, x AS label FROM edges
+          UNION
+          SELECT e.x AS id, cc.label FROM edges e JOIN cc ON cc.id = e.y
+        ), losers AS (
+          SELECT id FROM (SELECT id, min(label) AS cluster FROM cc GROUP BY id)
+          WHERE id <> cluster
+        )
+        SELECT d.doc_id, d.text FROM documents d
+        WHERE d.doc_id NOT IN (SELECT id FROM losers)
       """.trim,
       "dedup_ngram_pairs" -> """
         WITH t AS (

@@ -116,7 +116,12 @@ object Drift {
     */
   def psiGrouped(grouped: DataFrame, baseline: DataFrame,
       group: Column, category: Column, n: Column): DataFrame = {
+    // defensive pre-aggregation: the contract says pre-aggregated counts,
+    // but a duplicated (group, cat) row would otherwise fan out through the
+    // frame join and silently double-count its PSI term — summing here is
+    // the same shuffle the frame join needs anyway
     val cur = grouped.select(group.as("g"), category.as("cat"), n.as("n_cur"))
+      .groupBy(col("g"), col("cat")).agg(sum(col("n_cur")).as("n_cur"))
     val base = baseline.groupBy(col("cat")).agg(sum(col("n_base")).as("n_base"))
     // per-group FULL category frame (the grouped analog of psi's full-outer
     // join): the group's own categories union the baseline's, so both a

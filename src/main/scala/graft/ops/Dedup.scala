@@ -462,13 +462,22 @@ object Dedup {
     // Reliable-checkpoint GC: Spark only deletes RDD checkpoint files when
     // spark.cleaner.referenceTracking.cleanCheckpoints=true, so a long run
     // would otherwise accumulate one (id, label) snapshot per round forever.
-    // After round N's action materializes its checkpoint, every OLDER rdd-*
-    // directory under the run's checkpoint root is dead (later rounds read
-    // round N's files, never N-1's) and is deleted here explicitly.
+    // After round N's action materializes its checkpoint, this run's OLDER
+    // rdd-* directories are dead (later rounds read round N's files, never
+    // N-1's). GC deletes ONLY directories this run itself created (tracked
+    // by name as each round's action commits them): getCheckpointDir is
+    // SparkContext-global, so a delete-everything-not-new policy would race
+    // a concurrent dupClusters (or any other checkpointing job) sharing the
+    // root and destroy its live snapshots mid-run (round-4 ADVICE).
     val sc = pairs.sparkSession.sparkContext
     val fsConf = sc.hadoopConfiguration
+    // the checkpoint root resolved ONCE up front — re-reading the global
+    // each round would follow a concurrent setCheckpointDir somewhere else
+    val checkpointRoot: Option[String] =
+      if (checkpointDir.isDefined) sc.getCheckpointDir else None
+    var ownDirs = Set.empty[String]
     def listRoundDirs(): Seq[org.apache.hadoop.fs.Path] =
-      sc.getCheckpointDir.toSeq.flatMap { root =>
+      checkpointRoot.toSeq.flatMap { root =>
         val rootPath = new org.apache.hadoop.fs.Path(root)
         val fs = rootPath.getFileSystem(fsConf)
         if (fs.exists(rootPath))
@@ -479,7 +488,8 @@ object Dedup {
       }
     def gcOldCheckpoints(keep: Set[String]): Unit =
       if (checkpointDir.isDefined) listRoundDirs().foreach { p =>
-        if (!keep.contains(p.getName)) p.getFileSystem(fsConf).delete(p, true)
+        if (ownDirs.contains(p.getName) && !keep.contains(p.getName))
+          p.getFileSystem(fsConf).delete(p, true)
       }
     // materialize the pair list ONCE: the symmetric edge view reads it twice
     // (union of both directions), and without this the caller's whole
@@ -519,8 +529,14 @@ object Dedup {
       // materializes the (lazily marked) checkpoint as a side effect
       val preRound = listRoundDirs().map(_.getName).toSet
       val changed = next.where(col("label") =!= col("old")).count()
-      // round N's checkpoint is on disk now; all older snapshots are dead
-      gcOldCheckpoints(keep = listRoundDirs().map(_.getName).toSet -- preRound)
+      // round N's checkpoint is on disk now; the new dirs are OURS, and all
+      // of our older snapshots are dead — delete exactly those
+      val newDirs = listRoundDirs().map(_.getName).toSet -- preRound
+      ownDirs ++= newDirs
+      if (newDirs.nonEmpty) {
+        gcOldCheckpoints(keep = newDirs)
+        ownDirs = newDirs
+      }
       labels.unpersist()
       labels = next.select(col("id"), col("label"))
       converged = changed == 0
@@ -605,4 +621,30 @@ object Dedup {
       .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
       .where(col("n") >= minSize)
       .orderBy(col("n").desc)
+
+  /** End-to-end keep-one dedup: the composition users actually run. Near-dup
+    * pairs (from [[minhashPairs]] / [[simhashPairs]] / [[ngramJaccardPairs]]
+    * / [[embeddingCosinePairs]]) -> [[dupClusters]] connected components ->
+    * keep the minimum-id member per cluster -> the surviving corpus rows,
+    * all other columns intact.
+    *
+    * Scale shape: the loser list is one thin (id) row per NON-canonical
+    * cluster member — bounded by the duplicate count, typically a few
+    * percent of the corpus — and the final step is a left_anti hash join of
+    * the corpus against it on an 8-byte key. Docs that appear in no pair
+    * never enter the cluster computation and ride through untouched.
+    *
+    * @param pairs undirected near-dup edges with columns (a, b)
+    * @return the rows of `df` whose id is its cluster's minimum (or in no
+    *         cluster at all)
+    */
+  def keepOnePerCluster(df: DataFrame, id: Column, pairs: DataFrame,
+      maxIters: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
+    val losers = dupClusters(pairs, maxIters, checkpointDir)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as("__loser_id"))
+    df.withColumn("__kid", id)
+      .join(losers, col("__kid") === col("__loser_id"), "left_anti")
+      .drop("__kid")
+  }
 }

@@ -150,4 +150,43 @@ object Ivf {
       .orderBy(col("cosine").desc, col("id"))
       .limit(topK)
   }
+
+  /** Per-query ranked probe clusters as a COLUMN — the columnar face of
+    * [[Model.rankClusters]] (same ordering: cosine to each centroid DESC,
+    * ties to the lower cluster id; cosine is scale-invariant so skipping
+    * the query normalization changes nothing). k × dims multiplies per
+    * query row, map-only.
+    */
+  def probeClusters(vec: Column, model: Model, nProbe: Int): Column = {
+    require(nProbe >= 1 && nProbe <= model.k)
+    val cm = typedLit(model.centroids.map(_.toSeq).toSeq)
+    val scored = transform(sequence(lit(0), lit(model.k - 1)), j =>
+      struct(
+        (-cosineSim(vec, element_at(cm, j + 1))).as("negcos"),
+        j.cast("int").as("cluster")))
+    slice(transform(array_sort(scored), s => s.getField("cluster")), 1, nProbe)
+  }
+
+  /** Batch search: a TABLE of queries against the inverted lists in ONE job
+    * (replacing the collect-the-vector, one-job-per-query shape — a driver
+    * bottleneck at 10^4+ queries). Each query fans out to its `nProbe`
+    * ranked clusters ([[probeClusters]], map-only); the (cluster, qid, qv)
+    * rows are broadcast, so the index side never shuffles — on a
+    * partitionBy("cluster") on-disk index the broadcast join's cluster keys
+    * drive dynamic partition pruning at the scan. Per-query top-k is the
+    * bounded [[graft.agg.TopKAgg]] (O(k) state, map-side combine: the
+    * shuffle carries <= k rows per task per query). nProbe = model.k is
+    * exact by construction — the oracle-pinned configuration.
+    *
+    * @return (qid, rank, id, cosine), rank 1..topK per query.
+    */
+  def searchBatch(index: DataFrame, model: Model, queries: DataFrame,
+      qid: Column, qvec: Column, topK: Int, nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= model.k)
+    val q = queries.select(qid.as("qid"), qvec.as("qv"))
+      .withColumn("cluster", explode(probeClusters(col("qv"), model, nProbe)))
+    val scored = index.join(broadcast(q), Seq("cluster"))
+      .select(col("qid"), col("id"), cosineSim(col("v"), col("qv")).as("cosine"))
+    Similarity.rankTopK(scored, topK)
+  }
 }

@@ -39,6 +39,65 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
 
+  /** Brute-force batch top-k: a TABLE of queries scored against the corpus
+    * in one job (the one-collect-one-job-per-query shape this replaces is a
+    * driver-side bottleneck at 10^4+ queries). Queries ride a broadcast —
+    * a query batch is small relative to the corpus — so the corpus streams
+    * map-side with NO shuffle of corpus data; the grouped top-k is
+    * [[graft.agg.TopKAgg]], whose bounded O(k) buffer partial-aggregates
+    * map-side, so the only shuffle carries <= k rows per (task, query).
+    * Exact at any scale (O(N·Q·d) compute — the LSH/IVF batch paths trade
+    * exactness for less of it).
+    *
+    * @return (qid, rank, id, cosine), rank 1..k per query by
+    *         (cosine DESC, id ASC).
+    */
+  def topKCosineBatch(df: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int): DataFrame = {
+    val corpus = df.select(id.as("id"), vec.as("v"))
+    val q = queries.select(qid.as("qid"), qvec.as("qv"))
+    val scored = corpus.join(broadcast(q))
+      .select(col("qid"), col("id"), cosineSim(col("v"), col("qv")).as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** LSH-bucketed batch top-k: the [[annTopKCosine]] prefilter for a TABLE
+    * of queries. The corpus band rows carry (id, bh) ONLY (same no-vector
+    * exchange contract, plan-tested in OpsSpec); the query band keys are
+    * broadcast, candidates are deduped to thin (qid, id) rows across bands,
+    * then ONE vector fetch per surviving candidate and a bounded
+    * [[graft.agg.TopKAgg]] top-k per query. Approximate — recall measured
+    * against [[topKCosineBatch]] in OpsSpec. Banding defaults are
+    * scale-safe; coarsen explicitly on toy corpora (see [[annTopKCosine]]).
+    */
+  def annTopKCosineBatch(df: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int,
+      bands: Int = 32, rowsPerBand: Int = 16, dims: Int = 64): DataFrame = {
+    val corpus = df.select(id.as("id"), vec.as("v"))
+    val bandRows = corpus.select(col("id"),
+      explode(bandKeys(col("v"), bands, rowsPerBand, dims)).as("bh"))
+    val q = queries.select(qid.as("qid"), qvec.as("qv"))
+    val qBands = q.select(col("qid"),
+      explode(bandKeys(col("qv"), bands, rowsPerBand, dims)).as("bh"))
+    val candIds = bandRows
+      .join(broadcast(qBands), Seq("bh"))
+      .select(col("qid"), col("id")).distinct() // thin (qid, id) exchange
+    val scored = candIds.join(corpus, Seq("id")).join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("id"), cosineSim(col("v"), col("qv")).as("cosine"))
+    rankTopK(scored, k)
+  }
+
+  /** Shared tail of every batch search: bounded top-k per query
+    * ([[graft.agg.TopKAgg]] — O(k) state, map-side combine), exploded to
+    * (qid, rank, id, cosine) rows.
+    */
+  private[ops] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(graft.agg.TopKAgg.topK(col("cosine"), col("id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "e")))
+      .select(col("qid"), (col("r") + 1).cast("long").as("rank"),
+        col("e.id").as("id"), col("e.score").as("cosine"))
+
   /** LSH-bucketed top-k: prefilter to vectors sharing >=1 band bucket with
     * the query, then exact cosine re-rank. Approximate — recall measured in
     * OpsSpec against the brute-force baseline.

@@ -138,6 +138,44 @@ class ChecksSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got("g3") > 1.0)           // novel + vanished category -> loud
   }
 
+  test("psiGrouped defensively sums duplicated (group, cat) input rows") {
+    val base = Seq(("a", 50L), ("b", 50L)).toDF("cat", "n_base")
+    val pre = Seq(("g1", "a", 30L), ("g1", "b", 70L)).toDF("g", "cat", "n")
+    // the same counts split across duplicate rows — must yield the SAME psi
+    val dup = Seq(("g1", "a", 10L), ("g1", "a", 20L),
+      ("g1", "b", 40L), ("g1", "b", 30L)).toDF("g", "cat", "n")
+    val p1 = Drift.psiGrouped(pre, base, col("g"), col("cat"), col("n"))
+      .collect().head.getDouble(1)
+    val p2 = Drift.psiGrouped(dup, base, col("g"), col("cat"), col("n"))
+      .collect().head.getDouble(1)
+    assert(math.abs(p1 - p2) < 1e-12, s"$p1 vs $p2")
+  }
+
+  test("ExactQuantile: distributed percentiles equal the brute-force ranks") {
+    import graft.checks.ExactQuantile
+    // deterministic values with heavy ties and a skewed tail — the shapes
+    // where FP ceil and tie-group boundaries bite
+    val vals = (0 until 997).map(i => ((i * i) % 37).toLong) ++
+      Seq(1000L, 1000L, 5000L)
+    val df = vals.toDF("v").repartition(16)
+    val ps = Seq(1, 50, 90, 99, 100)
+    val row = ExactQuantile.percentiles(df, col("v"), ps).collect().head
+    assert(row.getLong(0) == vals.size)
+    val sorted = vals.sorted
+    ps.zipWithIndex.foreach { case (p, i) =>
+      val rank = ExactQuantile.rankOf(vals.size, p)
+      val expected = sorted((rank - 1).toInt)
+      assert(row.getLong(i + 1) == expected, s"p$p: ${row.getLong(i + 1)} vs $expected")
+    }
+    // integer rank math: n divisible by 100 must NOT shift the rank by one
+    // (the double-ceil hazard: ceil(0.9 * 800000) -> 720001 in FP)
+    assert(ExactQuantile.rankOf(800000L, 90) == 720000L)
+    // nulls excluded; empty input -> n_rows 0, null percentiles
+    val empty = ExactQuantile.percentiles(
+      Seq.empty[java.lang.Long].toDF("v"), col("v"), Seq(50)).collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1))
+  }
+
   test("kind frequencies over the synthetic corpus") {
     import graft.gen.Synth
     val kf = Drift.kindFrequencies(Synth.corpusDF(spark, 90)).collect()

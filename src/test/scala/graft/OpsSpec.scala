@@ -46,6 +46,16 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out == expected)
   }
 
+  test("keepOnePerCluster keeps the min-id member and untouched docs") {
+    // clusters {1,2,3} (chain) and {10,11}; 5 and 7 appear in no pair
+    val docs = Seq((1L, "d1"), (2L, "d2"), (3L, "d3"), (5L, "d5"), (7L, "d7"),
+      (10L, "d10"), (11L, "d11")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val kept = Dedup.keepOnePerCluster(docs, $"doc_id", pairs, maxIters = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(kept == Map(1L -> "d1", 5L -> "d5", 7L -> "d7", 10L -> "d10"))
+  }
+
   test("topKTerms and repetitionStats on a hand corpus") {
     val df = Seq("a b a b a", "c c c c").toDF("t")
     val top = TextAnalysis.topKTerms(df, $"t", 2)
@@ -308,6 +318,114 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
         bands = 8, rowsPerBand = 4)
       .collect().map(_.getLong(0)).toSet
     assert(approx.intersect(exact).size >= 5, s"recall too low: $approx vs $exact")
+  }
+
+  test("TopKAgg: bounded, ordered (score DESC, id ASC), merge-correct") {
+    // ties on score must break to the LOWER id; k larger than the group
+    // returns the whole group; the partial/merge path is exercised by
+    // forcing many input partitions
+    val rows = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.7))
+    val df = rows.toDF("id", "score").repartition(8)
+    val top3 = df.agg(graft.agg.TopKAgg.topK($"score", $"id", 3).as("t"))
+      .select(explode($"t").as("e")).select($"e.id", $"e.score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top3 == Seq((2L, 0.9), (3L, 0.9), (5L, 0.7)))
+    val topAll = df.agg(graft.agg.TopKAgg.topK($"score", $"id", 100).as("t"))
+      .select(size($"t")).collect().head.getInt(0)
+    assert(topAll == 5)
+    // grouped: each group keeps its own bounded top-k
+    val grouped = Seq((1, 1L, 1.0), (1, 2L, 2.0), (1, 3L, 3.0),
+      (2, 4L, 9.0), (2, 5L, 8.0)).toDF("g", "id", "score").repartition(8)
+      .groupBy($"g").agg(graft.agg.TopKAgg.topK($"score", $"id", 2).as("t"))
+      .select($"g", transform($"t", e => e.getField("id")).as("ids"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(grouped == Map(1 -> Seq(3L, 2L), 2 -> Seq(4L, 5L)))
+  }
+
+  test("batch brute-force top-k matches the single-query baseline per query") {
+    val queries = emb.where($"vec_id" % 100 === 0)
+    val batch = Similarity.topKCosineBatch(emb, $"vec_id", $"embedding",
+        queries, $"vec_id", $"embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) =>
+        q -> rs.sortBy(_._2).map(_._3).toSeq }
+    val qids = queries.select($"vec_id").collect().map(_.getLong(0))
+    assert(batch.keySet == qids.toSet)
+    qids.foreach { qid =>
+      val qv = emb.where($"vec_id" === qid).select($"embedding")
+        .collect().head.getSeq[Float](0)
+      val single = Similarity.topKCosine(emb, $"vec_id", $"embedding", qv, 10)
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch(qid) == single, s"query $qid diverged")
+    }
+  }
+
+  test("batch LSH: thin band exchange, usable recall vs brute batch") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val queries = emb.where($"vec_id" % 100 === 0)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // toy banding (see the single-query recall test above): 16 bands of 4
+      // hyperplanes — the batch test spans 5 queries, so it needs a higher
+      // per-query collision floor than one lucky query does
+      val plan = Similarity.annTopKCosineBatch(emb, $"vec_id", $"embedding",
+        queries, $"vec_id", $"embedding", k = 10, bands = 16, rowsPerBand = 4)
+      val vecExchanges = plan.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if e.output.exists(_.dataType match {
+          case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+          case _                                                  => false
+        }) => e
+      }
+      // the only exchange allowed a vector payload is the re-rank fetch
+      assert(vecExchanges.size <= 1,
+        s"vector payload rides ${vecExchanges.size} exchanges: " +
+          s"${vecExchanges.map(_.output)}")
+      val approx = plan.collect()
+        .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val exact = Similarity.topKCosineBatch(emb, $"vec_id", $"embedding",
+          queries, $"vec_id", $"embedding", k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val recalls = exact.map { case (qid, ids) =>
+        val hit = approx.getOrElse(qid, Set.empty).intersect(ids).size
+        assert(hit >= 3, s"recall too low for query $qid: $hit/10")
+        hit
+      }
+      // aggregate recall is the meaningful LSH quality bar; the per-query
+      // floor above only rules out a structurally broken query path
+      assert(recalls.sum >= recalls.size * 5,
+        s"aggregate recall too low: ${recalls.sum}/${recalls.size * 10}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("IVF batch search: full probe exact, partial probe matches per-query") {
+    val queries = emb.where($"vec_id" % 100 === 0)
+    val model = ops.Ivf.train(emb, $"vec_id", $"embedding", k = 8, iters = 2)
+    val index = ops.Ivf.assign(emb, $"vec_id", $"embedding", model)
+    // full probe = exact: must equal the brute-force batch, ranks included
+    val full = ops.Ivf.searchBatch(index, model, queries, $"vec_id", $"embedding",
+        topK = 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = Similarity.topKCosineBatch(emb, $"vec_id", $"embedding",
+        queries, $"vec_id", $"embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == brute)
+    // partial probe: the batch path must agree with the single-query path
+    // (same clusters probed, same re-rank) for every query
+    val partial = ops.Ivf.searchBatch(index, model, queries, $"vec_id", $"embedding",
+        topK = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+    queries.select($"vec_id").collect().map(_.getLong(0)).foreach { qid =>
+      val qv = emb.where($"vec_id" === qid).select($"embedding")
+        .collect().head.getSeq[Float](0)
+      val single = ops.Ivf.search(index, model, qv, topK = 10, nProbe = 2)
+        .collect().map(_.getLong(0)).toSeq
+      assert(partial(qid) == single, s"query $qid diverged from per-query probe")
+    }
   }
 
   test("token counts match a hand count") {
