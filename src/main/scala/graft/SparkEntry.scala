@@ -524,6 +524,30 @@ object SparkEntry {
         }
       lens.agg(aggCols.head, aggCols.tail: _*)
     }),
+    // cross-run mergeable distinct sketch (the ledger resume path): KMV
+    // sketches of two disjoint halves of the corpus — standing in for two
+    // runs' persisted per-batch buffers — MERGED into one corpus sketch.
+    // KMV keeps the k smallest distinct FNV-1a hashes in SIGNED order, so
+    // the oracle recomputes the k-th kept hash EXACTLY in SQL (the sketch's
+    // entire content boundary), plus the exact distinct count and an
+    // estimate-in-bounds flag (k=64 -> ~12.5% std err; deterministic here).
+    "col_stats_merged" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("text").isNotNull)
+      val halves = docs
+        .groupBy(pmod(col("doc_id"), lit(2)).as("h"))
+        .agg(graft.agg.Kmv.sketch(col("text"), 64).as("sk"))
+      val merged = halves
+        .agg(graft.agg.Kmv.mergeSketch(col("sk")).as("sk"))
+        .select(graft.agg.Kmv.decode(col("sk")).as("d"))
+      val exact = docs.agg(countDistinct(col("text")).as("n_distinct_text"))
+      merged.crossJoin(exact).select(
+        col("n_distinct_text"),
+        col("d.n_kept").as("n_kept"),
+        col("d.kth_hash").as("kth_hash"),
+        (abs(col("d.estimate") - col("n_distinct_text")) <=
+          lit(0.25) * col("n_distinct_text")).cast("int").as("est_ok"))
+    }),
     // batch-query ANN, brute-force exact: a TABLE of queries (every 100th
     // embedding) against the corpus in ONE job — broadcast queries, map-side
     // scoring, bounded TopKAgg per query (the shuffle carries <= k rows per
@@ -651,6 +675,35 @@ object SparkEntry {
                (SELECT min(v) FROM cc, nn WHERE cum >= (n * 90 + 99) // 100) AS exact_p90,
                (SELECT min(v) FROM cc, nn WHERE cum >= (n * 99 + 99) // 100) AS exact_p99,
                1::INT AS p50_ok, 1::INT AS p90_ok, 1::INT AS p99_ok
+      """.trim,
+      // the KMV sketch's k smallest signed hashes are recomputed exactly in
+      // SQL: FNV-1a (HUGEINT modular multiply) + the splitmix64 finalizer
+      // (adds/xors/logical shifts/multiplies mod 2^64 on UBIGINT); kth_hash
+      // pins the merged sketch's content boundary, est_ok its estimate
+      "col_stats_merged" -> """
+        WITH d AS (SELECT DISTINCT text FROM documents WHERE text IS NOT NULL),
+        f AS (
+          SELECT list_reduce(
+            list_prepend(14695981039346656037::UBIGINT,
+              list_transform(generate_series(1, length(text)),
+                i -> ascii(substr(text, i, 1))::UBIGINT)),
+            (acc, b) -> ((xor(acc, b)::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT) AS h
+          FROM d),
+        m1 AS (SELECT ((h::HUGEINT + 11400714819323198485) % 18446744073709551616)::UBIGINT AS z FROM f),
+        m2 AS (SELECT ((((xor(z, z >> 30))::HUGEINT % 4294967296) * 13787848793156543929
+                       + ((((xor(z, z >> 30))::HUGEINT // 4294967296) * 13787848793156543929) % 4294967296) * 4294967296)
+                      % 18446744073709551616)::UBIGINT AS z FROM m1),
+        m3 AS (SELECT ((((xor(z, z >> 27))::HUGEINT % 4294967296) * 10723151780598845931
+                       + ((((xor(z, z >> 27))::HUGEINT // 4294967296) * 10723151780598845931) % 4294967296) * 4294967296)
+                      % 18446744073709551616)::UBIGINT AS z FROM m2),
+        hh AS (SELECT DISTINCT xor(z, z >> 31)::HUGEINT AS u FROM m3),
+        sh AS (SELECT (CASE WHEN u >= 9223372036854775808::HUGEINT
+                       THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS h FROM hh),
+        ranked AS (SELECT h FROM sh ORDER BY h LIMIT 64)
+        SELECT (SELECT count(*) FROM d)::BIGINT AS n_distinct_text,
+               (SELECT count(*) FROM ranked)::BIGINT AS n_kept,
+               (SELECT max(h) FROM ranked)::BIGINT AS kth_hash,
+               1::INT AS est_ok
       """.trim,
       // per-query brute force: both batch paths (broadcast brute-force and
       // IVF full probe) must reproduce this exactly

@@ -80,11 +80,19 @@ object ValidationJob {
     // one distributed pass: write per-doc verdicts (with per-file lineage);
     // violations expand only for failing docs
     // Overwrite (not Append): a replayed batch must clobber a crashed
-    // attempt's partial files in this deterministic directory
-    val verdicts = validated.select(col("doc_id"), col("passed"),
-      size(col("violations")).as("n_violations"), col("src_file"))
+    // attempt's partial files in this deterministic directory.
+    // The batch's distinct-doc_id KMV sketch rides the SAME pass as an
+    // observed metric — no second scan of the corpus — and lands on the
+    // batch's ledger rows for cross-run merging.
+    val obs = org.apache.spark.sql.Observation()
+    val verdicts = validated
+      .observe(obs, graft.agg.Kmv.sketch(col("doc_id"), Ledger.SketchK)
+        .as("docid_sketch"))
+      .select(col("doc_id"), col("passed"),
+        size(col("violations")).as("n_violations"), col("src_file"))
     verdicts.write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/verdicts/run_id=$runId/batch=$batchId")
+    val batchSketch = obs.get("docid_sketch").asInstanceOf[Array[Byte]]
 
     val violations = validated.where(not(col("passed")))
       .select(col("doc_id"), col("src_file"), explode(col("violations")).as("v"))
@@ -109,7 +117,7 @@ object ValidationJob {
     val byName = perFile.map { case (f, n, v, d) => norm(f) -> ((n, v, d)) }.toMap
     val ledgerRows = files.map { f =>
       val (n, v, d) = byName.getOrElse(norm(f), (0L, 0L, 0L))
-      Ledger.Row(runId, snap.snapshotId, batchId, f, n, v, d, elapsed)
+      Ledger.Row(runId, snap.snapshotId, batchId, f, n, v, d, elapsed, batchSketch)
     }
     Ledger.append(spark, outDir, ledgerRows)
     val rows = perFile.map(_._2).sum

@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   */
 object Ledger {
 
+  /** KMV size for the per-batch distinct-doc_id sketch (std err ~3%). */
+  val SketchK = 1024
+
   final case class Row(
       run_id: String,
       snapshot_id: String,
@@ -24,7 +27,14 @@ object Ledger {
       docs_failed: Long,
       // wall time of the whole BATCH this file belonged to (files in a
       // batch process in one distributed job; per-file time is not a thing)
-      batch_elapsed_ms: Long)
+      batch_elapsed_ms: Long,
+      // serialized KMV distinct-doc_id sketch of the whole BATCH (computed
+      // in the same pass as the verdict write via observe(); stored on each
+      // of the batch's file rows — KMV merge is idempotent, so the
+      // duplication is harmless). Cross-RUN merge of these buffers gives
+      // corpus-level distinct counts for a resumed 100 TB job, which no
+      // per-run scalar can provide.
+      docid_sketch: Array[Byte])
 
   def path(outDir: String): String = s"$outDir/ledger"
 
@@ -51,4 +61,22 @@ object Ledger {
       .where(col("run_id") === runId && col("snapshot_id") === snapshotId)
       .select("file").distinct()
       .collect().map(_.getString(0)).toSet
+
+  /** Corpus-level distinct-doc_id sketch: the union of every persisted
+    * per-batch sketch across ALL runs/batches in this ledger (optionally
+    * filtered). Each batch's buffer appears once per file row; KMV merge is
+    * idempotent so no dedup pass is needed. Returns None for an empty
+    * ledger. Decode with [[graft.agg.Kmv.decode]] or
+    * [[graft.agg.KmvBuf.deserialize]].
+    */
+  def mergedDocIdSketch(spark: SparkSession, outDir: String,
+      runId: Option[String] = None): Option[Array[Byte]] = {
+    val rows = read(spark, outDir)
+    val scoped = runId.map(r => rows.where(col("run_id") === r)).getOrElse(rows)
+    val merged = scoped.agg(
+      graft.agg.Kmv.mergeSketch(col("docid_sketch")).as("sk"))
+      .collect().head.getAs[Array[Byte]](0)
+    // an all-null / empty ledger merges to the k=0 sentinel (4+4 zero bytes)
+    if (graft.agg.KmvBuf.deserialize(merged).k == 0) None else Some(merged)
+  }
 }

@@ -30,6 +30,47 @@ class ChecksSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(a == b)
   }
 
+  test("KMV sketch: split-merge equals single pass, idempotent, duplicate-proof") {
+    import graft.agg.{Kmv, KmvBuf}
+    val n = 5000
+    val vals = (0 until n).map(i => s"value-$i")
+    val df = vals.toDF("s").repartition(8)
+    val whole = df.agg(Kmv.sketch($"s", 64)).collect().head.getAs[Array[Byte]](0)
+    // sketch two disjoint halves separately, then merge the BUFFERS: must
+    // equal the single-pass sketch byte-for-byte (k smallest of the union)
+    val halves = df.withColumn("h", pmod(crc32($"s"), lit(2)))
+      .groupBy($"h").agg(Kmv.sketch($"s", 64).as("sk"))
+    val merged = halves.agg(Kmv.mergeSketch($"sk"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, merged))
+    // idempotence: every buffer merged twice changes nothing (the ledger
+    // stores one batch's sketch on each of its file rows)
+    val merged2 = halves.unionByName(halves).agg(Kmv.mergeSketch($"sk"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, merged2))
+    // duplicates of the VALUES do not change the sketch either
+    val dup3 = (vals ++ vals ++ vals).toDF("s").repartition(8)
+      .agg(Kmv.sketch($"s", 64)).collect().head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, dup3))
+    val buf = KmvBuf.deserialize(whole)
+    assert(buf.set.size == 64)
+    assert(math.abs(buf.estimate - n) <= 0.3 * n)
+    // decode column face agrees with the driver-side deserialization
+    val d = df.agg(Kmv.sketch($"s", 64).as("sk"))
+      .select(Kmv.decode($"sk").as("d"))
+      .select($"d.n_kept", $"d.kth_hash", $"d.estimate").collect().head
+    assert(d.getLong(0) == 64 && d.getLong(1) == buf.set.last())
+    assert(d.getDouble(2) == buf.estimate)
+  }
+
+  test("KMV sketch below k is exact") {
+    import graft.agg.{Kmv, KmvBuf}
+    val df = (Seq("a", "b", "c") ++ Seq("a", "b")).toDF("s")
+    val sk = df.agg(Kmv.sketch($"s", 64)).collect().head.getAs[Array[Byte]](0)
+    val buf = KmvBuf.deserialize(sk)
+    assert(buf.set.size == 3 && buf.estimate == 3.0)
+  }
+
   test("uniqueness finds duplicated keys and survives an adversarial hot key") {
     // one key with 100k rows across partitions + 10 normal dup keys + uniques
     val hot = spark.range(0, 100000, 1, 16).select(lit("HOT").as("k"))

@@ -73,6 +73,26 @@ class ResumeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(va.exceptAll(vb).isEmpty && vb.exceptAll(va).isEmpty)
   }
 
+  test("ledger sketches merge across a killed+resumed run to the exact single-pass sketch") {
+    val in = tmp(); val out = tmp()
+    writeCorpus(s"$in/docs", 180, 6)
+    // kill after 1 of 3 batches, then resume: the ledger now holds per-batch
+    // sketches written by two separate JVM-level "runs" of the job
+    ValidationJob.run(spark, s"$in/docs", out, "run1", batches = 3, maxBatches = 1)
+    ValidationJob.run(spark, s"$in/docs", out, "run1", batches = 3)
+    val merged = Ledger.mergedDocIdSketch(spark, out).get
+    // KMV merge is exact set union: merged-across-batches must equal a
+    // one-shot sketch over the full corpus BYTE-FOR-BYTE
+    val whole = spark.read.parquet(s"$in/docs")
+      .agg(graft.agg.Kmv.sketch(col("doc_id"), Ledger.SketchK))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, whole))
+    // 180 distinct doc_ids < k=1024: the sketch is exact, not an estimate
+    assert(graft.agg.KmvBuf.deserialize(merged).estimate == 180.0)
+    // an empty ledger merges to None
+    assert(Ledger.mergedDocIdSketch(spark, tmp()).isEmpty)
+  }
+
   test("a MID-batch crash (output written, ledger lost) replays without duplicates") {
     val in = tmp(); val out = tmp()
     writeCorpus(s"$in/docs", 180, 6)
