@@ -338,6 +338,18 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))
     }),
+    // vocabulary-driven greedy longest-match wordpiece counts (real subword
+    // tokenization, replacing the letter-run proxy as the token-budget
+    // signal); the oracle replays the identical greedy scan as a recursive
+    // CTE over (word, position) states with the SAME vocabulary literal
+    "text_subword_bpe" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("text").isNotNull)
+      docs.select(col("doc_id"), TextAnalysis.subwordStats(col("text")).as("w"))
+        .select(col("doc_id"),
+          col("w.n_words").cast("long").as("n_words"),
+          col("w.n_pieces").cast("long").as("n_pieces"))
+    }),
     // quality metrics + gate per doc (integer-only for oracle parity)
     "text_quality" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -357,6 +369,22 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       docs.select(TextAnalysis.langId(col("text")).as("lang_pred"))
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+    }),
+    // char-n-gram language ID over a derived multilingual corpus: each doc
+    // gets a deterministic language snippet (by doc_id % 5) prepended to a
+    // slice of its own text, and the profile-gram argmax must label all
+    // five languages. The oracle recomputes every per-language score with
+    // the same replace()-count semantics and the same tie-break
+    // (score DESC, lang DESC), both generated from the SAME Scala tables.
+    "text_langid_ngram" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("text").isNotNull)
+      val sn = typedLit(TextAnalysis.LangSnippets.map(_._2))
+      val derived = docs.select(
+        concat(element_at(sn, pmod(col("doc_id"), lit(5)).cast("int") + 1),
+          lit(" "), substring(lower(col("text")), 1, 60)).as("t2"))
+      derived.select(TextAnalysis.langIdNgram(col("t2")).as("lang"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
     }),
     // simhash near-dup pairs. Oracle-checked: the FNV-1a token hash and the
     // per-bit majority vote are recomputed in plain DuckDB SQL (modular
@@ -1011,6 +1039,35 @@ object SparkEntry {
                len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_subwords
         FROM documents
       """.trim,
+      // greedy longest-match wordpiece scan replayed as a recursive CTE:
+      // each (word, pos) state advances by the longest vocabulary piece
+      // matching at pos (else 1, the unknown-char fallback); the vocabulary
+      // literal is generated from WordpieceKernel.Vocab so both engines
+      // tokenize against the identical table
+      "text_subword_bpe" -> s"""
+        WITH RECURSIVE words AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents WHERE text IS NOT NULL),
+        steps AS (
+          SELECT doc_id, w, 0::INT AS pos, 0::INT AS n FROM words
+          UNION ALL
+          SELECT s.doc_id, s.w,
+                 (s.pos + coalesce(list_max(list_transform(
+                    list_filter(${graft.expr.WordpieceKernel.Vocab
+                      .map(t => s"'$t'").mkString("[", ",", "]")},
+                      t -> substr(s.w, s.pos + 1, length(t)) = t),
+                    t -> length(t))), 1))::INT,
+                 (s.n + 1)::INT
+          FROM steps s WHERE s.pos < length(s.w)),
+        perword AS (SELECT doc_id, n FROM steps WHERE pos >= length(w)),
+        perdoc AS (
+          SELECT doc_id, count(*)::BIGINT AS n_words, sum(n)::BIGINT AS n_pieces
+          FROM perword GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(p.n_words, 0)::BIGINT AS n_words,
+               coalesce(p.n_pieces, 0)::BIGINT AS n_pieces
+        FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+        LEFT JOIN perdoc p USING (doc_id)
+      """.trim,
       "text_quality" -> s"""
         WITH m AS (
           SELECT doc_id, length(text) AS n_chars,
@@ -1135,6 +1192,34 @@ object SparkEntry {
       // langid: per-language marker-word scores, argmax with the engine's
       // defined tie-break (score DESC, then language code DESC — Spark
       // struct-greatest semantics); zero hits -> 'und'
+      // char-n-gram langid replayed exactly: the snippet array, every
+      // profile gram, and the replace()-delta counting are generated from
+      // the SAME Scala tables the Spark kernel uses; tie-break matches
+      // greatest(struct(score, lang)) = (score DESC, lang DESC)
+      "text_langid_ngram" -> {
+        val snippetArr = TextAnalysis.LangSnippets.map { case (_, s) => s"'$s'" }
+          .mkString("[", ", ", "]")
+        val scoreSelects = TextAnalysis.LangProfiles.map { case (lang, gs) =>
+          val terms = gs.map { g =>
+            s"((length(t2) - length(replace(t2, '$g', ''))) / ${g.length})::INT"
+          }.mkString(" + ")
+          s"SELECT doc_id, '$lang' AS lang, ($terms) AS s FROM t"
+        }.mkString("\n          UNION ALL ")
+        s"""
+        WITH t AS (
+          SELECT doc_id,
+                 $snippetArr[(doc_id % 5)::INT + 1] || ' ' || substr(lower(text), 1, 60) AS t2
+          FROM documents WHERE text IS NOT NULL
+        ), scores AS (
+          $scoreSelects
+        ), best AS (
+          SELECT doc_id, s, lang,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang DESC) AS rn
+          FROM scores)
+        SELECT CASE WHEN s = 0 THEN 'und' ELSE lang END AS lang, count(*)::BIGINT AS cnt
+        FROM best WHERE rn = 1 GROUP BY 1
+        """.trim
+      },
       "text_langid_dist" -> {
         val scoreSelects = TextAnalysis.LangMarkers.map { case (lang, words) =>
           val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -25,6 +25,13 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)))
 
+  /** Real subword tokenization: vocabulary-driven greedy longest-match
+    * wordpiece counting over ASCII-letter word runs — see
+    * [[graft.expr.WordpieceKernel]]. struct(n_words, n_pieces); codegen'd
+    * per-row kernel, no shuffle.
+    */
+  def subwordStats(text: Column): Column = graft.expr.WordpieceStats.stats(text)
+
   /** Quality metrics struct: n_chars, n_tokens, punct chars, digit chars,
     * stopword hits, mean token length — inputs for a curation filter.
     */
@@ -77,6 +84,55 @@ object TextAnalysis {
     val best = greatest(scored: _*)
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
+  /** Character-n-gram language profiles for [[langIdNgram]]: per language,
+    * distinctive digraphs/trigraphs plus space-padded function words (the
+    * standard char-n-gram langid feature set). Occurrence counting uses
+    * non-overlapping replace() semantics — identical in Spark and DuckDB —
+    * so the oracle recomputes every score exactly; grams avoid
+    * self-overlapping shapes so replace() counting is unambiguous.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " und ", " die ", "sch", "cht", "ei", "ue"),
+    "en" -> Seq(" the ", " and ", "th", "he", " of "),
+    "es" -> Seq(" el ", " la ", " y ", " que ", "cion", "rro"),
+    "fr" -> Seq(" le ", " les ", " et ", " que ", "eux", "oir"),
+    "it" -> Seq(" il ", " di ", " al ", "che", "ere", " poi "))
+
+  /** Non-overlapping occurrence count of literal `g` in `text` via the
+    * replace() length delta — the cross-engine-stable counting primitive.
+    */
+  def gramCount(text: Column, g: String): Column =
+    ((length(text) - length(replace(text, lit(g), lit("")))) / lit(g.length))
+      .cast("int")
+
+  /** Character-n-gram language ID: argmax over per-language profile-gram
+    * occurrence totals ([[LangProfiles]]), ties to the lexicographically
+    * larger code, zero signal -> "und". Upgrades the 10-marker-word
+    * heuristic ([[langId]]): profile grams fire on morphology (digraphs,
+    * suffixes) and function words, so short or marker-free text still
+    * scores. Pure codegen'd columns, no shuffle.
+    */
+  def langIdNgram(text: Column): Column = {
+    val t = lower(text)
+    val scored = LangProfiles.map { case (lang, gs) =>
+      struct(gs.map(g => gramCount(t, g)).reduce(_ + _).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Deterministic per-language pangram-style snippets used to derive a
+    * multilingual test corpus from the (English-ish) synthetic documents
+    * table — ASCII-only so the hash/char oracles stay exact.
+    */
+  val LangSnippets: Seq[(String, String)] = Seq(
+    "en" -> "the quick brown fox jumps over the lazy dog and then the other dog barks at the moon while the cat sleeps near the warm fire",
+    "de" -> "der schnelle braune fuchs springt ueber den faulen hund und dann bellt der andere hund waehrend die katze nicht schlafen kann",
+    "es" -> "el rapido zorro marron salta sobre el perro perezoso y luego el otro perro ladra mientras el gato duerme cerca de la chimenea",
+    "fr" -> "le renard brun rapide saute par dessus le chien paresseux et puis le autre chien aboie pendant que le chat dort pres du feu",
+    "it" -> "la veloce volpe marrone salta sopra il cane pigro e poi il altro cane abbaia mentre il gatto dorme vicino al fuoco caldo")
 
   /** Corpus vocabulary top-k: term frequencies over whitespace tokens,
     * ordered (count desc, term asc) for a deterministic cut. Catalyst gives

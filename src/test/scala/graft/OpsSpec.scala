@@ -56,6 +56,38 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(kept == Map(1L -> "d1", 5L -> "d5", 7L -> "d7", 10L -> "d10"))
   }
 
+  test("wordpiece stats: greedy longest-match counts pinned against a hand trace") {
+    // reference values traced by hand/offline against the same vocabulary:
+    // e.g. "running" -> run|n|ing? no: greedy at r: 'ro'/'ra'? no ->
+    // r|un|n|ing = 4 pieces (un and ing are vocab entries)
+    val df = Seq(
+      (1L, "The runner was running and jumping nationally"),
+      (2L, "consideration of the preexisting settlement"),
+      (3L, "xyzzy qqq"),
+      (4L, "a"),
+      (5L, "123 ... !!"), // no letters: zero words, zero pieces
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = df.where($"text".isNotNull)
+      .select($"doc_id", TextAnalysis.subwordStats($"text").as("w"))
+      .select($"doc_id", $"w.n_words", $"w.n_pieces")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    assert(out == Map(1L -> ((7, 23)), 2L -> ((5, 22)), 3L -> ((2, 8)),
+      4L -> ((1, 1)), 5L -> ((0, 0))))
+    // null text -> null struct through the expression itself
+    val nulls = df.select(TextAnalysis.subwordStats($"text").as("w"))
+      .where($"w".isNull).count()
+    assert(nulls == 1)
+  }
+
+  test("langIdNgram labels all five profile languages and falls back to und") {
+    val rows = TextAnalysis.LangSnippets.map { case (lang, s) => (lang, s) } :+
+      (("und", "zzz qqq 12345"))
+    val out = rows.toDF("expected", "t")
+      .select($"expected", TextAnalysis.langIdNgram($"t").as("got"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    out.foreach { case (expected, got) => assert(got == expected, s"snippet for $expected") }
+  }
+
   test("topKTerms and repetitionStats on a hand corpus") {
     val df = Seq("a b a b a", "c c c c").toDF("t")
     val top = TextAnalysis.topKTerms(df, $"t", 2)
