@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.checks.RowValidator
 import graft.expr.SketchExprs.minhashSig
@@ -55,6 +55,49 @@ object StreamingValidation {
       .select(col(tsCol), explode(col("spans.kind")).as("kind"))
       .groupBy(window(col(tsCol), windowLen), col("kind"))
       .agg(count(lit(1)).as("n"))
+
+  /** End-to-end streaming drift harness (the operational form of the batch
+    * `drift_psi_hourly` query): closed kind-frequency windows land in a
+    * parquet table via foreachBatch, and each landed micro-batch is scored
+    * for drift against the `baseline` histogram with
+    * [[graft.checks.Drift.psiGrouped]] before being appended to `psiPath`.
+    *
+    * Append mode emits a window exactly ONCE, when the watermark passes its
+    * end — so the per-window PSI computed inside the landing batch equals
+    * the PSI a batch job would compute over the same windows (the parity
+    * the spec pins). Late rows inside the watermark still count (their
+    * window has not closed); rows later than the watermark are dropped by
+    * the aggregation — the standard bounded-state contract.
+    *
+    * Scale shape: each micro-batch carries only the windows that closed in
+    * it (histogram rows, not documents); the PSI join broadcasts the
+    * baseline. The sink is an append-only parquet table, so a downstream
+    * alerting query reads (window, psi) rows incrementally.
+    *
+    * @param baseline histogram with columns `cat` and `n_base` (see
+    *                 [[graft.checks.Drift.psiGrouped]])
+    */
+  def startWindowedPsiSink(docs: DataFrame, tsCol: String, baseline: DataFrame,
+      windowsPath: String, psiPath: String, checkpoint: String,
+      windowLen: String = "1 hour", watermark: String = "30 minutes"): StreamingQuery =
+    kindFrequencyStream(docs, tsCol, windowLen, watermark)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val closed = batch
+          .select(col("window.start").as("w"), col("kind"), col("n"))
+          .persist()
+        try {
+          if (closed.count() > 0) {
+            closed.write.mode("append").parquet(windowsPath)
+            graft.checks.Drift
+              .psiGrouped(closed, baseline, col("w"), col("kind"), col("n"))
+              .write.mode("append").parquet(psiPath)
+          }
+        } finally { closed.unpersist(); () }
+      }
+      .start()
 
   /** One streamed dedup input row. */
   final case class DedupIn(khash: Long, key: String, doc_id: String,

@@ -105,6 +105,75 @@ class DedupPropertySpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("adversarial skew: lineDedup survives one line duplicated 10^6 times") {
+    // 100k docs x (10 copies of one hot boilerplate line + 1 unique line):
+    // a window-over-line implementation would funnel all 10^6 hot rows into
+    // ONE task; the partial-aggregated min(struct) winner must instead
+    // combine map-side, and the reassembly stays per-doc bounded
+    val nDocs = 100000L
+    val hotPerDoc = 10
+    val hot = "REPEATED BOILERPLATE NAVIGATION LINE COMMON TO EVERY DOCUMENT"
+    val docs = spark.range(nDocs).select(
+      col("id"),
+      concat_ws("\n",
+        flatten(array(
+          array_repeat(lit(hot), hotPerDoc),
+          array(concat(lit("unique payload line for document "), col("id")))))).as("t"))
+
+    // track the single-task blowup directly: max shuffle records read by
+    // any one task across the whole job
+    val maxTaskRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val rec = m.shuffleReadMetrics.recordsRead
+          var prev = maxTaskRead.get()
+          while (rec > prev && !maxTaskRead.compareAndSet(prev, rec))
+            prev = maxTaskRead.get()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out =
+      try {
+        val o = Dedup.lineDedup(docs, col("id"), col("t"))
+          .select(col("id"), col("n_kept"), col("n_dropped"), col("text_clean"))
+          .collect()
+        // listener events are delivered async; poll until the max is stable
+        var last = -1L
+        var stable = 0
+        var waited = 0
+        while (stable < 5 && waited < 50) {
+          Thread.sleep(200); waited += 1
+          val cur = maxTaskRead.get()
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
+        o
+      } finally spark.sparkContext.removeSparkListener(listener)
+
+    // correctness under the flood: every doc keeps its unique line; only
+    // the global first occurrence (doc 0, idx 0) keeps the hot line
+    assert(out.length == nDocs)
+    val byId = out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(byId(0L) == ((2L, hotPerDoc - 1L,
+      hot + "\nunique payload line for document 0")))
+    assert(byId(1L) == ((1L, hotPerDoc.toLong, "unique payload line for document 1")))
+    assert(out.map(_.getLong(2)).sum == nDocs * hotPerDoc - 1)
+    // reassembly per-doc bounded: no doc accumulates the flood
+    assert(out.map(_.getLong(1)).max == 2L)
+
+    // no single-partition blowup: the hot line's 10^6 occurrences must
+    // never land un-combined in one task (a window plan reads >= 10^6
+    // records in a single task; allow half that as the failure line)
+    val maxRead = maxTaskRead.get()
+    assert(maxRead > 0, "listener captured no shuffle metrics")
+    assert(maxRead < nDocs * hotPerDoc / 2,
+      s"single task read $maxRead shuffle records — hot key not combined/split")
+  }
+
   test("property: dupClusters equals union-find on arbitrary edge lists") {
     val edgeGen = for {
       n <- Gen.choose(1, 25)

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.checks.Drift
+import graft.streaming.StreamingValidation
+
+/** End-to-end harness spec for the streaming windowed-PSI drift pipeline
+  * ([[StreamingValidation.startWindowedPsiSink]]): closed windows must land
+  * exactly once with the FINAL histogram (late-but-in-watermark rows
+  * counted, past-watermark rows dropped), and the per-window PSI written at
+  * landing time must equal the batch [[Drift.psiGrouped]] over the same
+  * landed windows — the streaming/batch parity the driver's batch-only
+  * oracle loop cannot check itself.
+  */
+class StreamingDriftSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  import spark.implicits._
+
+  private def t(hm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hm:00")
+
+  test("closed windows land once with late-data semantics; landed PSI == batch PSI") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-psi-sink").toString
+    val (windowsPath, psiPath, ckpt) =
+      (s"$tmp/windows", s"$tmp/psi", s"$tmp/ckpt")
+
+    // uniform 2-kind baseline: any landed window scores a finite PSI and
+    // single-kind windows score a LARGE one, so parity is value-bearing
+    val baseline = Seq(("a", 1L), ("b", 1L)).toDF("cat", "n_base")
+
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "k", "ts")
+      .select(col("doc_id"), col("ts"),
+        array(struct(col("k").as("kind"))).as("spans"))
+    val q = StreamingValidation.startWindowedPsiSink(
+      docs, "ts", baseline, windowsPath, psiPath, ckpt,
+      windowLen = "1 hour", watermark = "30 minutes")
+    try {
+      // batch 1: W0 gets a+b, W1 gets a; watermark (from prior batches) is
+      // still epoch, nothing closes. After: max ts 01:10 -> wm 00:40.
+      input.addData(("d1", "a", t("00:10")), ("d2", "b", t("00:20")),
+        ("d3", "a", t("01:10")))
+      q.processAllAvailable()
+      // batch 2: a LATE row for W0 — 00:05 is behind the 00:40 watermark
+      // but W0 (end 01:00) is still open, so it must still count — plus a
+      // W2 row that advances the watermark to 02:20.
+      input.addData(("d4", "b", t("00:05")), ("d5", "a", t("02:50")))
+      q.processAllAvailable()
+      // batch 3: a TOO-LATE row for W0 (W0 end 01:00 <= wm 02:20 — must be
+      // dropped, not resurrect the closed window) plus a W3 row. W0 and W1
+      // close THIS batch with their final histograms.
+      input.addData(("d6", "a", t("00:15")), ("d7", "b", t("03:40")))
+      q.processAllAvailable()
+      // two more advancing batches so W2 and W3 close too
+      input.addData(("d8", "a", t("05:00")))
+      q.processAllAvailable()
+      input.addData(("d9", "b", t("06:30")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // landed window histograms: exactly one landing per (window, kind),
+    // late-in-watermark counted (W0 b=2), too-late dropped (W0 a stays 1)
+    val landed = spark.read.parquet(windowsPath)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    // the trailing no-data batch after the last addData advances the
+    // watermark to 06:00, so the 05:00 window closes too
+    val expected = Set(
+      (t("00:00"), "a", 1L), (t("00:00"), "b", 2L),
+      (t("01:00"), "a", 1L),
+      (t("02:00"), "a", 1L),
+      (t("03:00"), "b", 1L),
+      (t("05:00"), "a", 1L))
+    assert(landed.length == expected.size, s"duplicate landings: ${landed.toSeq}")
+    assert(landed.toSet == expected, s"landed: ${landed.toSeq}")
+
+    // PSI parity: the per-window PSI written at landing time equals the
+    // batch psiGrouped over the same landed table (exact doubles — both
+    // sides are the same code path over the same histogram rows)
+    val streamedPsi = spark.read.parquet(psiPath)
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toMap
+    val batchPsi = Drift.psiGrouped(
+        spark.read.parquet(windowsPath), baseline, col("w"), col("kind"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toMap
+    assert(streamedPsi.keySet == batchPsi.keySet && streamedPsi.keySet.size == 5)
+    streamedPsi.foreach { case (w, psi) =>
+      assert(psi == batchPsi(w), s"window $w: streamed $psi vs batch ${batchPsi(w)}")
+    }
+    // value sanity: the mixed window (W0: a=1,b=2) drifts less against the
+    // uniform baseline than the single-kind windows
+    val singleKind = Seq(t("01:00"), t("02:00"), t("03:00"), t("05:00"))
+    singleKind.foreach { w =>
+      assert(streamedPsi(w) > streamedPsi(t("00:00")),
+        s"single-kind window $w should out-drift the mixed window")
+    }
+  }
+}
