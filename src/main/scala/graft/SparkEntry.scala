@@ -451,6 +451,44 @@ object SparkEntry {
       TextAnalysis.sampleByHash(docs, col("doc_id"), 0.1, salt = "r4")
         .select(col("doc_id"))
     }),
+    // per-domain cap ("at most K docs per source"): bounded O(k) heap per
+    // group via TopKAgg — combines map-side, so a hot domain never sorts in
+    // one task; oracle is the row_number formulation the operator avoids
+    "sample_domain_cap" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("source").isNotNull)
+      ops.Sampling.capPerGroup(docs, col("source"), col("doc_id"), 20)
+        .select(col("g").as("source"), col("id").as("doc_id"))
+    }),
+    // stratified deterministic sampling: per-language rates over the same
+    // FNV keep-function as sample_hash_docs (subsets nest across rates)
+    "sample_stratified" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      ops.Sampling.stratifiedSampleByHash(docs, col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.1, salt = "r5")
+        .select(col("doc_id"), col("lang"))
+    }),
+    // integer-exact tf-idf surrogate: top-3 terms per doc by
+    // (tf DESC, df ASC, term ASC) — corpus-weighted two-pass op with one
+    // reused term-hashed exchange
+    "text_distinctive_terms" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("text").isNotNull)
+      TextAnalysis.distinctiveTerms(docs, col("doc_id"), col("text"), k = 3)
+    }),
+    // GPT-style sequence packing: concat docs per FNV bucket in id order,
+    // split every 512 tokens; pure prefix-sum arithmetic, replayed exactly
+    // by the oracle's windowed cumulative sum
+    "pack_sequences" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      ops.Packing.packSequences(docs, col("doc_id"), col("n_tokens"),
+          capacity = 512, buckets = 8)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("bucket"),
+          col("chunk_first"), col("chunk_last"), col("chunk_offset"))
+    }),
     "text_fingerprints" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       docs.select(col("doc_id"),
@@ -627,6 +665,17 @@ object SparkEntry {
       .mkString(", ")
     val errorsJson = graft.expr.MarcErrors.json(
       graft.expr.MarcValidator.validate(Fixtures.invalidDoc.spans, graft.rules.RuleSet.default))
+    // DuckDB FNV-1a 64 over a string expression (unsigned HUGEINT modular
+    // multiply), and Spark's signed pmod over it — the shared keep-function
+    // fragments for every hash-sampling/bucketing oracle
+    def fnvU(e: String): String =
+      s"""list_reduce(
+         |              list_prepend(14695981039346656037::UBIGINT,
+         |                list_transform(generate_series(1, length($e)),
+         |                  i -> ascii(substr($e, i, 1))::UBIGINT)),
+         |              (acc, b) -> ((xor(acc, b)::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT)::HUGEINT""".stripMargin
+    def signedPmod(u: String, m: Long): String =
+      s"((CASE WHEN $u >= 9223372036854775808::HUGEINT THEN $u - 18446744073709551616::HUGEINT ELSE $u END) % $m + $m) % $m"
     Map(
       "marc_fixture_violations" ->
         s"SELECT * FROM (VALUES $fixtureRows) AS t(doc_id, rule_id, loc_path, msg)",
@@ -1153,6 +1202,57 @@ object SparkEntry {
         WHERE ((CASE WHEN u >= 9223372036854775808::HUGEINT
                      THEN u - 18446744073709551616::HUGEINT ELSE u END) % 1000000
                + 1000000) % 1000000 < 100000
+      """.trim,
+      // the window formulation the engine-side bounded-heap operator avoids
+      "sample_domain_cap" -> """
+        SELECT source, doc_id FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents WHERE source IS NOT NULL)
+        WHERE rn <= 20
+      """.trim,
+      // per-language thresholds over the same FNV keep-function
+      "sample_stratified" -> s"""
+        WITH h AS (
+          SELECT doc_id, lang,
+            ${fnvU("doc_id::VARCHAR || 'r5'")} AS u
+          FROM documents)
+        SELECT doc_id, lang FROM h
+        WHERE ${signedPmod("u", 1000000L)} <
+          CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 250000 ELSE 100000 END
+      """.trim,
+      "text_distinctive_terms" -> """
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                 t -> length(t) > 0)) AS term
+          FROM documents WHERE text IS NOT NULL),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+        SELECT doc_id, term, tf, df, rank FROM (
+          SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, dfc.df ASC, tf.term ASC)::BIGINT AS rank
+          FROM tf JOIN dfc USING (term))
+        WHERE rank <= 3
+      """.trim,
+      // windowed cumulative sum replays the prefix-sum chunk arithmetic
+      "pack_sequences" -> s"""
+        WITH t AS (
+          SELECT doc_id,
+            (CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT AS n_tokens,
+            (${signedPmod(fnvU("doc_id::VARCHAR"), 8L)})::BIGINT AS bucket
+          FROM documents WHERE text IS NOT NULL),
+        c AS (
+          SELECT doc_id, n_tokens, bucket,
+            coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+          FROM t)
+        SELECT doc_id, n_tokens, bucket,
+               (cum // 512)::BIGINT AS chunk_first,
+               (greatest(cum, cum + n_tokens - 1) // 512)::BIGINT AS chunk_last,
+               (cum % 512)::BIGINT AS chunk_offset
+        FROM c
       """.trim,
       "text_fingerprints" -> """
         WITH t AS (

@@ -145,6 +145,35 @@ object TextAnalysis {
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(k)
 
+  /** Per-document distinctive terms: the k terms with the highest term
+    * frequency, rarer-in-corpus terms first on ties — an integer-exact
+    * tf-idf surrogate (ordering by (tf DESC, df ASC, term ASC) is the
+    * tf·idf ranking whenever tf ties break by idf, without cross-engine
+    * floating-point log hazards). `df` is the number of documents
+    * containing the term.
+    *
+    * Scale shape: tokens partial-aggregate to (doc, term, tf) map-side;
+    * the document-frequency table derives from the SAME (doc, term) frame
+    * and joins back on term, so Catalyst reuses one term-hashed exchange
+    * for both sides; the final top-k window partitions by DOCUMENT —
+    * bounded by a doc's vocabulary, never by a term's corpus frequency
+    * (no hot-term skew).
+    */
+  def distinctiveTerms(df: DataFrame, id: Column, text: Column,
+      k: Int = 3): DataFrame = {
+    val tf = df
+      .select(id.as("doc_id"),
+        explode(filter(Dedup.tokens(text), t => length(t) > 0)).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfc, "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+  }
+
   /** Intra-document repetition stats (Gopher-style quality signal): total
     * vs distinct word n-grams — a high n_grams/n_distinct ratio marks
     * boilerplate/spam. Integer counts so the oracle check is exact; the

@@ -88,6 +88,100 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.foreach { case (expected, got) => assert(got == expected, s"snippet for $expected") }
   }
 
+  test("capPerGroup keeps the k smallest ids per group, partition-independently") {
+    import graft.ops.Sampling
+    val rows = (0L until 50L).map(i => (s"g${i % 3}", i))
+    val df = rows.toDF("src", "id")
+    val kept = Sampling.capPerGroup(df.repartition(7), $"src", $"id", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, xs) =>
+      xs.map(_._2).sorted.take(4).map(g -> _)
+    }.toSet
+    assert(kept == expected)
+    // a group under the cap keeps everything
+    val small = Seq(("a", 1L), ("a", 2L), ("b", 9L)).toDF("src", "id")
+    assert(Sampling.capPerGroup(small, $"src", $"id", 5).count() == 3)
+  }
+
+  test("stratifiedSampleByHash nests within the flat sampler and scales per stratum") {
+    import graft.ops.{Sampling, TextAnalysis}
+    val df = spark.range(4000).select($"id",
+      when(pmod($"id", lit(2)) === 0, "en").otherwise("zh").as("lang"))
+    val strat = Sampling.stratifiedSampleByHash(df, $"id", $"lang",
+      Map("en" -> 0.5, "zh" -> 0.1), defaultRate = 0.0, salt = "s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // nesting: every stratified keep is in the flat 0.5 sample (same salt)
+    val flat = TextAnalysis.sampleByHash(df, $"id", 0.5, salt = "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(strat.map(_._1).forall(flat.contains))
+    // rates land near target per stratum (hash-uniformity tolerance)
+    val byLang = strat.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(math.abs(byLang("en") - 1000) < 150, s"en: ${byLang("en")}")
+    assert(math.abs(byLang("zh") - 200) < 80, s"zh: ${byLang("zh")}")
+    // deterministic: partitioning never changes the kept set
+    val again = Sampling.stratifiedSampleByHash(df.repartition(13), $"id", $"lang",
+      Map("en" -> 0.5, "zh" -> 0.1), defaultRate = 0.0, salt = "s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(strat.toSet == again.toSet)
+  }
+
+  test("packSequences chunk arithmetic pinned by hand (single bucket)") {
+    import graft.ops.Packing
+    // capacity 10; docs in id order with token counts 4, 8, 0, 10, 3:
+    // cum     0   4   12  12  22
+    // first   0   0   1   1   2
+    // last    0   1   1   2   2     (zero-token doc: last == first)
+    // offset  0   4   2   2   2
+    val df = Seq((0L, 4L), (1L, 8L), (2L, 0L), (3L, 10L), (4L, 3L))
+      .toDF("doc", "n")
+    val out = Packing.packSequences(df.repartition(3), $"doc", $"n",
+        capacity = 10, buckets = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out == Map(
+      0L -> ((0L, 0L, 0L)), 1L -> ((0L, 1L, 4L)), 2L -> ((1L, 1L, 2L)),
+      3L -> ((1L, 2L, 2L)), 4L -> ((2L, 2L, 2L))))
+    // multi-bucket: per-bucket streams are independent and deterministic
+    val big = spark.range(500).select($"id", (pmod($"id", lit(7)) + 1).as("n"))
+    val a = Packing.packSequences(big, $"id", $"n", 16, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val b = Packing.packSequences(big.repartition(11), $"id", $"n", 16, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(a == b)
+    // stream conservation per bucket: last doc's chunk_offset + n lands at
+    // the bucket's total token count mod capacity
+    val perBucket = Packing.packSequences(big, $"id", $"n", 16, 4)
+      .groupBy($"bucket").agg(sum($"n_tokens").as("tot"),
+        max(struct($"id", $"chunk_first", $"chunk_offset", $"n_tokens")).as("last"))
+      .collect()
+    perBucket.foreach { r =>
+      val tot = r.getLong(1)
+      val last = r.getStruct(2)
+      val endAbs = last.getLong(1) * 16 + last.getLong(2) + last.getLong(3)
+      assert(endAbs == tot, s"bucket ${r.getLong(0)}: $endAbs != $tot")
+    }
+  }
+
+  test("distinctiveTerms ranks by (tf desc, df asc, term asc)") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana banana banana apple"),
+      (3L, "cherry dates dates")).toDF("doc_id", "t")
+    val got = TextAnalysis.distinctiveTerms(df, $"doc_id", $"t", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(4)) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 1: apple tf=2; tie tf=1 between banana(df 2) and cherry(df 2) -> term asc
+    assert(got((1L, 1L)) == (("apple", 2L, 2L)))
+    assert(got((1L, 2L)) == (("banana", 1L, 2L)))
+    // doc 2: banana tf=3, apple tf=1
+    assert(got((2L, 1L)) == (("banana", 3L, 2L)))
+    assert(got((2L, 2L)) == (("apple", 1L, 2L)))
+    // doc 3: dates tf=2 (df 1), cherry tf=1 (df 2)
+    assert(got((3L, 1L)) == (("dates", 2L, 1L)))
+    assert(got((3L, 2L)) == (("cherry", 1L, 2L)))
+  }
+
   test("topKTerms and repetitionStats on a hand corpus") {
     val df = Seq("a b a b a", "c c c c").toDF("t")
     val top = TextAnalysis.topKTerms(df, $"t", 2)
