@@ -68,13 +68,16 @@ object ScalingBench {
     val effScan = (leg4N.ctlScan / legN.ctlScan) / 4.0
     val ceiling = math.min(effHash, effScan)
     val verdict =
-      if (eff >= 0.8) "PASS (raw)"
       // controls CANNOT scale superlinearly on a healthy machine: a control
       // efficiency well above 1 means the N leg ran in a degraded window
       // (host page-cache/neighbor pressure hit the small leg), so neither
-      // legs' ratio measures the engine — the window self-diagnoses invalid
-      else if (math.max(effHash, effScan) > 1.05)
+      // legs' ratio measures the engine — the window self-diagnoses invalid.
+      // This check must come FIRST: a degraded N leg INFLATES the validate
+      // ratio, so a "raw pass" in such a window is exactly the reading that
+      // cannot be trusted
+      if (math.max(effHash, effScan) > 1.05)
         "INVALID WINDOW (controls scaled superlinearly - N-leg environment degraded; discard and re-run)"
+      else if (eff >= 0.8) "PASS (raw)"
       else if (eff >= ceiling)
         "PASS vs same-window machine ceiling (raw below 0.8, but the weaker of the CPU/scan controls scaled no better in this window)"
       else if (eff / ceiling >= 0.8) "WEAK (within 80% of the same-window ceiling)"
