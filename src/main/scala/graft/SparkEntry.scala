@@ -489,6 +489,22 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_tokens"), col("bucket"),
           col("chunk_first"), col("chunk_last"), col("chunk_offset"))
     }),
+    // per-label embedding centroids via the VectorAvgAgg used by IVF's
+    // k-means (bounded dims-sized buffer, map-side combine — never
+    // posexplode+groupBy(label, dim), which would shuffle N x dims rows).
+    // The oracle replays the aggregate's FLOAT truncation (::REAL) before
+    // rounding so both engines quantize identically.
+    "embed_label_centroids" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .where(col("embedding").isNotNull)
+      emb.groupBy(col("label"))
+        .agg(graft.agg.VectorAvgAgg.vectorAvg(col("embedding")).as("c"))
+        .select(col("label"), col("c.n").as("n"),
+          posexplode(col("c.avg")).as(Seq("dim", "v")))
+        .select(col("label").cast("long").as("label"), col("n"),
+          (col("dim") + 1).cast("long").as("dim"),
+          round(col("v").cast("double"), 6).as("v"))
+    }),
     "text_fingerprints" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       docs.select(col("doc_id"),
@@ -1253,6 +1269,15 @@ object SparkEntry {
                (greatest(cum, cum + n_tokens - 1) // 512)::BIGINT AS chunk_last,
                (cum % 512)::BIGINT AS chunk_offset
         FROM c
+      """.trim,
+      // per-dimension mean with the engine's float quantization replayed
+      // (::REAL) so rounding is bit-identical across engines
+      "embed_label_centroids" -> """
+        SELECT label::BIGINT AS label, count(*)::BIGINT AS n, i::BIGINT AS dim,
+               round(((sum(embedding[i]::DOUBLE) / count(*))::REAL)::DOUBLE, 6) AS v
+        FROM embeddings, generate_series(1, 64) AS t(i)
+        WHERE embedding IS NOT NULL
+        GROUP BY label, i
       """.trim,
       "text_fingerprints" -> """
         WITH t AS (
