@@ -253,6 +253,26 @@ object SparkEntry {
       Dedup.keepOnePerCluster(docs, col("doc_id"), pairs.select(col("a"), col("b")))
         .select(col("doc_id"), col("text"))
     }),
+    // intra-doc repeated-line removal: zero-shuffle HOF pass; oracle replays
+    // first-occurrence keeps with a min(i)-per-(doc, line) window
+    "dedup_lines_intra" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.lineDedupIntra(docs, col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("n_kept"), col("n_dropped"),
+          col("text_clean"))
+    }),
+    // the end-to-end curation composition: quality gate -> stratified
+    // deterministic sample -> per-domain cap; every stage oracle-replayable
+    "curation_pipeline" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("text").isNotNull)
+      val gated = docs.where(TextAnalysis.qualityPass(col("text")))
+      val sampled = ops.Sampling.stratifiedSampleByHash(gated, col("doc_id"),
+        col("lang"), Map("en" -> 0.6, "zh" -> 0.4), defaultRate = 0.8,
+        salt = "cur")
+      ops.Sampling.capPerGroup(sampled, col("source"), col("doc_id"), 8)
+        .select(col("g").as("source"), col("id").as("doc_id"))
+    }),
     // inverted-index exact n-gram Jaccard pairs (the small-corpus baseline
     // the LSH path is validated against); same oracle SQL as dedup_near_pairs
     "dedup_ngram_pairs" -> ((s, dir) => {
@@ -1269,6 +1289,52 @@ object SparkEntry {
                (greatest(cum, cum + n_tokens - 1) // 512)::BIGINT AS chunk_last,
                (cum % 512)::BIGINT AS chunk_offset
         FROM c
+      """.trim,
+      // first-occurrence keeps via a min(i) window per (doc, line); short
+      // lines always keep (same minLen contract as the global lineDedup)
+      "dedup_lines_intra" -> """
+        WITH l AS (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS i
+          FROM documents WHERE text IS NOT NULL),
+        k AS (
+          SELECT doc_id, line, i,
+                 CASE WHEN length(line) >= 10
+                      THEN min(i) OVER (PARTITION BY doc_id, line)
+                      ELSE i END AS firsti,
+                 count(*) OVER (PARTITION BY doc_id) AS n_lines
+          FROM l)
+        SELECT doc_id, count(*)::BIGINT AS n_kept,
+               (any_value(n_lines) - count(*))::BIGINT AS n_dropped,
+               coalesce(string_agg(line, chr(10) ORDER BY i), '') AS text_clean
+        FROM k WHERE i = firsti GROUP BY doc_id
+      """.trim,
+      // quality gate -> FNV stratified sample -> row_number cap, stage for
+      // stage the same chain the engine composes
+      "curation_pipeline" -> s"""
+        WITH m AS (
+          SELECT doc_id, lang, source, length(text) AS n_chars,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                 length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+                 length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+          FROM documents WHERE text IS NOT NULL),
+        gated AS (
+          SELECT doc_id, lang, source FROM m
+          WHERE n_tokens BETWEEN 5 AND 100000 AND n_punct * 4 <= n_chars
+                AND n_digits * 4 <= n_chars),
+        h AS (
+          SELECT doc_id, lang, source,
+            ${fnvU("doc_id::VARCHAR || 'cur'")} AS u
+          FROM gated),
+        samp AS (
+          SELECT doc_id, source FROM h
+          WHERE ${signedPmod("u", 1000000L)} <
+            CASE lang WHEN 'en' THEN 600000 WHEN 'zh' THEN 400000 ELSE 800000 END)
+        SELECT source, doc_id FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM samp)
+        WHERE rn <= 8
       """.trim,
       // per-dimension mean with the engine's float quantization replayed
       // (::REAL) so rounding is bit-identical across engines

@@ -622,6 +622,32 @@ object Dedup {
       .where(col("n") >= minSize)
       .orderBy(col("n").desc)
 
+  /** Intra-document line dedup: drop repeated lines WITHIN each document,
+    * keeping the first occurrence — the per-page counterpart of the global
+    * [[lineDedup]] (kills template chrome repeated inside one page without
+    * any cross-document coordination). Lines under `minLen` chars never
+    * dedupe, same contract as [[lineDedup]].
+    *
+    * Scale shape: pure intra-row higher-order functions — zero shuffle,
+    * fully codegen'd, embarrassingly parallel. The first-occurrence test is
+    * `array_position` (first index of the line), O(lines²) per doc — bounded
+    * by document size, never by corpus size.
+    *
+    * @return (id, n_kept, n_dropped, text_clean)
+    */
+  def lineDedupIntra(df: DataFrame, id: Column, text: Column,
+      minLen: Int = 10): DataFrame = {
+    val lines = split(text, "\n")
+    val kept = filter(lines, (l, i) =>
+      length(l) < lit(minLen) || array_position(lines, l) === i + 1)
+    df.where(text.isNotNull)
+      .select(id.as("id"), lines.as("ls"), kept.as("ks"))
+      .select(col("id"),
+        size(col("ks")).cast("long").as("n_kept"),
+        (size(col("ls")) - size(col("ks"))).cast("long").as("n_dropped"),
+        concat_ws("\n", col("ks")).as("text_clean"))
+  }
+
   /** End-to-end keep-one dedup: the composition users actually run. Near-dup
     * pairs (from [[minhashPairs]] / [[simhashPairs]] / [[ngramJaccardPairs]]
     * / [[embeddingCosinePairs]]) -> [[dupClusters]] connected components ->

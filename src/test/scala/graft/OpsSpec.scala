@@ -103,6 +103,75 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Sampling.capPerGroup(small, $"src", $"id", 5).count() == 3)
   }
 
+  test("lineDedupIntra keeps first occurrences, short lines always survive") {
+    import graft.ops.Dedup
+    val long1 = "this is a repeated navigation line"
+    val long2 = "another sufficiently long content line"
+    val df = Seq(
+      (1L, s"$long1\n$long2\n$long1\nok\nok\n$long1"),
+      (2L, s"$long2"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "t")
+    val out = Dedup.lineDedupIntra(df, $"doc_id", $"t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1: 6 lines; the two later copies of long1 drop; short "ok" repeats keep
+    assert(out(1L) == ((4L, 2L, s"$long1\n$long2\nok\nok")))
+    assert(out(2L) == ((1L, 0L, long2)))
+    assert(!out.contains(3L))
+  }
+
+  test("adversarial skew: capPerGroup bounds shuffle under a one-domain flood") {
+    import graft.ops.Sampling
+    // one domain owns 1M of 1.01M rows; the bounded-heap aggregate must
+    // partial-combine so the hot group's shuffle carries ~k rows per map
+    // task, never the raw million (the row_number window would sort them
+    // all in ONE task)
+    val n = 1000000L
+    val df = spark.range(n + 10000).select(
+      when($"id" < n, "hot").otherwise(concat(lit("cold"), pmod($"id", lit(100))))
+        .as("src"),
+      $"id")
+    val maxTaskRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val totalShuffleWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          totalShuffleWrite.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          val rec = m.shuffleReadMetrics.recordsRead
+          var prev = maxTaskRead.get()
+          while (rec > prev && !maxTaskRead.compareAndSet(prev, rec))
+            prev = maxTaskRead.get()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val kept =
+      try {
+        val o = Sampling.capPerGroup(df, $"src", $"id", 8).collect()
+        var last = -1L; var stable = 0; var waited = 0
+        while (stable < 5 && waited < 50) {
+          Thread.sleep(200); waited += 1
+          val cur = totalShuffleWrite.get()
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
+        o
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // correctness: hot keeps ids 0..7; every cold group keeps its 8 smallest
+    val byG = kept.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    assert(byG("hot").toSeq == (0L until 8L))
+    assert(byG.size == 101 && byG.forall(_._2.length == 8))
+    assert(byG("cold0").toSeq == (0 until 8).map(j => n + j * 100L))
+    // combine bound: the aggregate's exchange carries per-(task, group)
+    // heaps, not rows — orders of magnitude under the 1M raw rows
+    assert(totalShuffleWrite.get() > 0, "listener captured no shuffle metrics")
+    assert(totalShuffleWrite.get() < n / 10,
+      s"shuffle carried ${totalShuffleWrite.get()} records — hot group not combined")
+    assert(maxTaskRead.get() < n / 10,
+      s"single task read ${maxTaskRead.get()} shuffle records")
+  }
+
   test("stratifiedSampleByHash nests within the flat sampler and scales per stratum") {
     import graft.ops.{Sampling, TextAnalysis}
     val df = spark.range(4000).select($"id",
