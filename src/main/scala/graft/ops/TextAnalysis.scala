@@ -165,7 +165,15 @@ object TextAnalysis {
       .select(id.as("doc_id"),
         explode(filter(Dedup.tokens(text), t => length(t) > 0)).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df must CONSUME the tf value: with count(1) (or count(tf), which the
+    // optimizer rewrites away since tf is non-null) this branch prunes tf's
+    // count column, the partial aggregates diverge from the tf branch, and
+    // ReuseExchange cannot dedupe the two (doc, term) subplans — the corpus
+    // would be scanned and tokenized TWICE. sum(tf >= 1) is the same doc
+    // count but needs tf, so both branches share one exchange (verified on
+    // the executed plan).
+    val dfc = tf.groupBy(col("term"))
+      .agg(sum(when(col("tf") >= 1, 1L).otherwise(0L)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
     tf.join(dfc, "term")

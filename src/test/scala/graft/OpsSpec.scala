@@ -231,6 +231,25 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("distinctiveTerms tokenizes the corpus ONCE (tf exchange reused by the df branch)") {
+    import graft.ops.TextAnalysis
+    // a FILE source mirrors the real query shape (a tiny in-memory range
+    // fuses the tf aggregate into one stage with no exchange to reuse)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfidf").toString
+    spark.range(200).select($"id",
+        concat(lit("alpha beta gamma tok"), pmod($"id", lit(17))).as("t"))
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val q = TextAnalysis.distinctiveTerms(df, $"id", $"t", k = 2)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ReusedExchange"),
+      s"df branch rebuilt the (doc, term) aggregate — corpus tokenized twice:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"corpus scanned more than once:\n$plan")
+  }
+
   test("distinctiveTerms ranks by (tf desc, df asc, term asc)") {
     import graft.ops.TextAnalysis
     val df = Seq(
