@@ -22,6 +22,35 @@ class StreamingDriftSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   private def t(hm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hm:00")
 
+  test("stateless curation ops run unchanged on a stream with batch parity") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ops.{Dedup, Sampling, TextAnalysis}
+    // the curation surface is stateless per-row Columns, so the SAME
+    // operator calls bind to readStream and must emit byte-identical rows
+    val dir = Files.createTempDirectory("graft-curation-stream").toString
+    val line = "a sufficiently long repeated line of text"
+    spark.range(300).selectExpr("id AS doc_id",
+        s"concat('$line\\n$line\\ndoc body token', id % 7) AS text",
+        "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'zh' END AS lang")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      val sampled = Sampling.stratifiedSampleByHash(df, col("doc_id"),
+        col("lang"), Map("en" -> 0.7), defaultRate = 0.3, salt = "sc")
+      Dedup.lineDedupIntra(sampled, col("doc_id"), col("text"))
+        .withColumn("np",
+          TextAnalysis.subwordStats(col("text_clean")).getField("n_pieces"))
+    }
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val q = curate(spark.readStream.schema(schema).parquet(s"$dir/in"))
+      .writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("curation_stream")
+    val batch = curate(spark.read.parquet(s"$dir/in"))
+    assert(streamed.count() > 50 && streamed.count() < 250) // sampler really cut
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("closed windows land once with late-data semantics; landed PSI == batch PSI") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
