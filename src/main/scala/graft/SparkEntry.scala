@@ -675,6 +675,33 @@ object SparkEntry {
           topK = 10, nProbe = 16)
         .select(col("qid"), col("rank"), col("id").as("vec_id"))
     }),
+    // per-user sessionization via native session_window (merged [ts,
+    // ts+gap) intervals — no per-key ordered window frame); the oracle
+    // replays it as the classic gaps-and-islands lag/cumsum
+    "events_sessions" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id").isNotNull)
+      ops.Sessions.sessionSummaries(ev, col("user_id"), col("ts"), "30 minutes")
+        .select(col("key").as("user_id"), col("session_start"),
+          col("session_end"), col("n_events"))
+    }),
+    // snapshot diff vs a deterministically-derived "next" snapshot: every
+    // 97th doc removed, every 31st doc's text edited, every 101st doc
+    // re-added under a shifted id — only added/changed rows would need
+    // revalidation. Fingerprint = xxhash64? no: fnv64(text) so the change
+    // detection itself is oracle-replayable end to end
+    "snapshot_diff_docs" -> ((s, dir) => {
+      val a = s.read.parquet(s"$dir/documents.parquet")
+      val b = a.where(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(31)) === 0, concat(col("text"), lit(" EDITED")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(a.where(pmod(col("doc_id"), lit(101)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      checks.SnapshotDiff.diff(a, b, col("doc_id"),
+          graft.expr.SketchExprs.fnv64(coalesce(col("text"), lit(""))))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+    }),
     // tumbling-hour event counts (batch form of the streaming windowed agg)
     "events_hourly" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -1289,6 +1316,50 @@ object SparkEntry {
                (greatest(cum, cum + n_tokens - 1) // 512)::BIGINT AS chunk_last,
                (cum % 512)::BIGINT AS chunk_offset
         FROM c
+      """.trim,
+      // gaps-and-islands replay of session_window: break only when the gap
+      // to the previous event EXCEEDS 30 min (boundary-inclusive merge —
+      // an event exactly 30 min later still merges, pinned by OpsSpec)
+      "events_sessions" -> """
+        WITH e AS (
+          SELECT user_id, ts FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        d AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM e),
+        s AS (
+          SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM d)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*)::BIGINT AS n_events
+        FROM s GROUP BY user_id, sid
+      """.trim,
+      // the derived snapshot and the diff replayed with a text compare
+      // (equivalent to the engine's fnv64 digest compare, collision-free on
+      // this corpus)
+      "snapshot_diff_docs" -> """
+        WITH a AS (SELECT doc_id, text FROM documents),
+        b AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 31 = 0 THEN text || ' EDITED' ELSE text END AS text
+          FROM documents WHERE doc_id % 97 != 0
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 101 = 0),
+        j AS (
+          SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+                      WHEN b.doc_id IS NULL THEN 'removed'
+                      WHEN coalesce(a.text, '') != coalesce(b.text, '') THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        SELECT status, count(*)::BIGINT AS n FROM j
+        WHERE status != 'unchanged' GROUP BY status
       """.trim,
       // first-occurrence keeps via a min(i) window per (doc, line); short
       // lines always keep (same minLen contract as the global lineDedup)

@@ -103,6 +103,46 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Sampling.capPerGroup(small, $"src", $"id", 5).count() == 3)
   }
 
+  test("sessionSummaries: boundary-inclusive merge, breaks past the gap") {
+    import graft.ops.Sessions
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    val df = Seq(
+      // user 1: an event exactly 30 min after the previous one still
+      // MERGES (session_window boundary-inclusive semantics); one second
+      // past the gap breaks
+      (1L, t("10:00:00")), (1L, t("10:10:00")), (1L, t("10:40:00")),
+      (1L, t("11:10:01")),
+      // user 2: single event
+      (2L, t("09:00:00")),
+      // null ts excluded
+      (3L, null.asInstanceOf[java.sql.Timestamp])).toDF("u", "ts")
+    val out = Sessions.sessionSummaries(df, $"u", $"ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, t("10:00:00"), t("11:10:00"), 3L),
+      (1L, t("11:10:01"), t("11:40:01"), 1L),
+      (2L, t("09:00:00"), t("09:30:00"), 1L)))
+  }
+
+  test("snapshotDiff classifies added/removed/changed with null-safe fingerprints") {
+    import graft.checks.SnapshotDiff
+    val a = Seq((1L, "same"), (2L, "old"), (3L, "gone"),
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+    val b = Seq((1L, "same"), (2L, "new"), (5L, "fresh"),
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+    val out = SnapshotDiff.diff(a, b, $"id", xxhash64(coalesce($"t", lit(""))))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // id 4 (null text both sides) is unchanged and thus absent
+    assert(out == Map(2L -> "changed", 3L -> "removed", 5L -> "added"))
+    // a genuinely-null fingerprint on a PRESENT row must not read as
+    // absent (xxhash64 never returns null, length does)
+    val outNull = SnapshotDiff.diff(a, b, $"id", length($"t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(outNull.get(4L).isEmpty, s"null-fp row misclassified: $outNull")
+    assert(outNull == Map(3L -> "removed", 5L -> "added"), s"got $outNull")
+  }
+
   test("lineDedupIntra keeps first occurrences, short lines always survive") {
     import graft.ops.Dedup
     val long1 = "this is a repeated navigation line"
