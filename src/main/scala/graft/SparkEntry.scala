@@ -1156,9 +1156,15 @@ object SparkEntry {
       // matching at pos (else 1, the unknown-char fallback); the vocabulary
       // literal is generated from WordpieceKernel.Vocab so both engines
       // tokenize against the identical table
+      // words are extracted as ASCII-letter runs from the RAW text and
+      // lowercased per word (lower() on pure-ASCII is engine-identical) —
+      // lower(text) FIRST would apply DuckDB's Unicode case folding, which
+      // can map non-ASCII codepoints (U+212A, U+0130) into ASCII letters
+      // the kernel treats as separators
       "text_subword_bpe" -> s"""
         WITH RECURSIVE words AS (
-          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          SELECT doc_id, unnest(list_transform(
+            regexp_extract_all(text, '[a-zA-Z]+'), t -> lower(t))) AS w
           FROM documents WHERE text IS NOT NULL),
         steps AS (
           SELECT doc_id, w, 0::INT AS pos, 0::INT AS n FROM words

@@ -129,6 +129,14 @@ case class KmvAgg(
   override def dataType: DataType = BinaryType
   override def prettyName: String = "kmv_sketch"
 
+  // fail at analysis, not as a mid-job ClassCastException in update()
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch requires a string child (got ${child.dataType.catalogString}; " +
+        "cast ids explicitly so the hash domain is deliberate)")
+
   override def createAggregationBuffer(): KmvBuf = new KmvBuf(k)
 
   override def update(buf: KmvBuf, input: InternalRow): KmvBuf = {

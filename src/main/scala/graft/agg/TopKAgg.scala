@@ -86,13 +86,19 @@ case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int,
     inputAggBufferOffset: Int)
-    extends TypedImperativeAggregate[TopKBuf] {
+    extends TypedImperativeAggregate[TopKBuf]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   require(k >= 1, s"topK: k must be >= 1, got $k")
 
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
   override def dataType: DataType = TopKAgg.resultType
   override def prettyName: String = "top_k"
+
+  // declared input types: the analyzer inserts the numeric widenings (int
+  // id -> long, float score -> double) and rejects anything else at
+  // analysis — never a mid-job ClassCastException in update()
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   override def createAggregationBuffer(): TopKBuf = new TopKBuf(k)
 

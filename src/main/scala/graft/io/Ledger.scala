@@ -49,9 +49,27 @@ object Ledger {
   def read(spark: SparkSession, outDir: String): DataFrame = {
     val p = new Path(path(outDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(path(outDir))
+    // mergeSchema: a resumed ledger may mix files written before a column
+    // existed (e.g. docid_sketch) with post-upgrade files; without it,
+    // schema inference picks ONE footer arbitrarily — either crashing on
+    // the missing column or silently reading old rows as if they never
+    // existed. Merged, pre-upgrade rows surface as explicit nulls (see
+    // [[mergedDocIdSketch]] / [[unsketchedRows]]).
+    if (fs.exists(p)) spark.read.option("mergeSchema", "true").parquet(path(outDir))
     else spark.emptyDataset(spark.implicits.newProductEncoder[Row]).toDF()
       .withColumn("completed_at", current_timestamp())
+  }
+
+  /** Ledger rows with NO persisted distinct sketch (written by a
+    * pre-sketch build): these batches are EXCLUDED from
+    * [[mergedDocIdSketch]]'s estimate — a resumed pre-upgrade job should
+    * check this is 0 before trusting the merged distinct count.
+    */
+  def unsketchedRows(spark: SparkSession, outDir: String): Long = {
+    val rows = read(spark, outDir)
+    if (rows.columns.contains("docid_sketch"))
+      rows.where(col("docid_sketch").isNull).count()
+    else rows.count()
   }
 
   /** Files already fully processed for (run_id, snapshot_id). */
@@ -72,6 +90,8 @@ object Ledger {
   def mergedDocIdSketch(spark: SparkSession, outDir: String,
       runId: Option[String] = None): Option[Array[Byte]] = {
     val rows = read(spark, outDir)
+    // an entirely pre-upgrade ledger has no sketch column at all
+    if (!rows.columns.contains("docid_sketch")) return None
     val scoped = runId.map(r => rows.where(col("run_id") === r)).getOrElse(rows)
     val merged = scoped.agg(
       graft.agg.Kmv.mergeSketch(col("docid_sketch")).as("sk"))

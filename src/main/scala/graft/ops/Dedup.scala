@@ -476,20 +476,14 @@ object Dedup {
     val checkpointRoot: Option[String] =
       if (checkpointDir.isDefined) sc.getCheckpointDir else None
     var ownDirs = Set.empty[String]
-    def listRoundDirs(): Seq[org.apache.hadoop.fs.Path] =
-      checkpointRoot.toSeq.flatMap { root =>
+    def gcOldCheckpoints(keep: Set[String]): Unit =
+      checkpointRoot.foreach { root =>
         val rootPath = new org.apache.hadoop.fs.Path(root)
         val fs = rootPath.getFileSystem(fsConf)
-        if (fs.exists(rootPath))
-          fs.listStatus(rootPath).toSeq
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith("rdd-"))
-            .map(_.getPath)
-        else Nil
-      }
-    def gcOldCheckpoints(keep: Set[String]): Unit =
-      if (checkpointDir.isDefined) listRoundDirs().foreach { p =>
-        if (ownDirs.contains(p.getName) && !keep.contains(p.getName))
-          p.getFileSystem(fsConf).delete(p, true)
+        (ownDirs -- keep).foreach { name =>
+          val p = new org.apache.hadoop.fs.Path(rootPath, name)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
       }
     // materialize the pair list ONCE: the symmetric edge view reads it twice
     // (union of both directions), and without this the caller's whole
@@ -527,12 +521,14 @@ object Dedup {
         .agg(min(col("label")).as("label"), min(col("old")).as("old")))
       // the ONE action of the round: computes the changed count AND
       // materializes the (lazily marked) checkpoint as a side effect
-      val preRound = listRoundDirs().map(_.getName).toSet
       val changed = next.where(col("label") =!= col("old")).count()
-      // round N's checkpoint is on disk now; the new dirs are OURS, and all
-      // of our older snapshots are dead — delete exactly those
-      val newDirs = listRoundDirs().map(_.getName).toSet -- preRound
-      ownDirs ++= newDirs
+      // round N's checkpoint is on disk now. Ownership is read from the
+      // PLAN (the checkpointed RDD's own file via Bridge.checkpointFile) —
+      // never inferred from a checkpoint-root listing diff, which would
+      // adopt directories a CONCURRENT job created in the same window and
+      // then delete that job's live snapshots next round
+      val newDirs = org.apache.spark.sql.graftbridge.Bridge.checkpointFile(next)
+        .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
       if (newDirs.nonEmpty) {
         gcOldCheckpoints(keep = newDirs)
         ownDirs = newDirs
@@ -629,19 +625,25 @@ object Dedup {
     * dedupe, same contract as [[lineDedup]].
     *
     * Scale shape: pure intra-row higher-order functions — zero shuffle,
-    * fully codegen'd, embarrassingly parallel. The first-occurrence test is
-    * `array_position` (first index of the line), O(lines²) per doc — bounded
-    * by document size, never by corpus size.
+    * embarrassingly parallel (HOFs are interpreted, not codegen'd — fine
+    * here, the work is the string scan itself). The first-occurrence test
+    * is `array_position` (first index of the line), O(lines²) per doc —
+    * bounded by document size, never by corpus size. The split is
+    * MATERIALIZED in its own projection before the lambda references it:
+    * an expression inlined into a HOF lambda re-evaluates once per element
+    * with no CSE (see minhashPairs' note on the same pathology), which
+    * here would re-split the full text per line — O(lines · text) wasted.
     *
     * @return (id, n_kept, n_dropped, text_clean)
     */
   def lineDedupIntra(df: DataFrame, id: Column, text: Column,
       minLen: Int = 10): DataFrame = {
-    val lines = split(text, "\n")
-    val kept = filter(lines, (l, i) =>
-      length(l) < lit(minLen) || array_position(lines, l) === i + 1)
     df.where(text.isNotNull)
-      .select(id.as("id"), lines.as("ls"), kept.as("ks"))
+      .select(id.as("id"), split(text, "\n").as("ls"))
+      .select(col("id"), col("ls"),
+        filter(col("ls"), (l, i) =>
+          length(l) < lit(minLen) || array_position(col("ls"), l) === i + 1)
+          .as("ks"))
       .select(col("id"),
         size(col("ks")).cast("long").as("n_kept"),
         (size(col("ls")) - size(col("ks"))).cast("long").as("n_dropped"),

@@ -77,13 +77,22 @@ object Ivf {
     * centroid matrix — ties break to the lower cluster id. One expression,
     * map-only, k × dims multiplies per row.
     */
-  def clusterOf(vec: Column, model: Model): Column = {
+  def clusterOf(vec: Column, model: Model): Column =
+    array_min(scoredClusters(vec, model)).getField("cluster")
+
+  /** (negated-cosine, cluster-id) structs for `vec` against the broadcast-
+    * literal centroid matrix — the ONE ranking contract (cosine DESC, ties
+    * to the lower cluster id) that assignment ([[clusterOf]]) and probing
+    * ([[probeClusters]]) must share: if these ever diverge, a partial probe
+    * can miss the cluster a vector was assigned to and "full probe is
+    * exact" breaks.
+    */
+  private def scoredClusters(vec: Column, model: Model): Column = {
     val cm = typedLit(model.centroids.map(_.toSeq).toSeq)
-    val scored = transform(sequence(lit(0), lit(model.k - 1)), j =>
+    transform(sequence(lit(0), lit(model.k - 1)), j =>
       struct(
         (-cosineSim(vec, element_at(cm, j + 1))).as("negcos"),
         j.cast("int").as("cluster")))
-    array_min(scored).getField("cluster")
   }
 
   /** Train the coarse quantizer: deterministic seeding (k smallest
@@ -159,12 +168,8 @@ object Ivf {
     */
   def probeClusters(vec: Column, model: Model, nProbe: Int): Column = {
     require(nProbe >= 1 && nProbe <= model.k)
-    val cm = typedLit(model.centroids.map(_.toSeq).toSeq)
-    val scored = transform(sequence(lit(0), lit(model.k - 1)), j =>
-      struct(
-        (-cosineSim(vec, element_at(cm, j + 1))).as("negcos"),
-        j.cast("int").as("cluster")))
-    slice(transform(array_sort(scored), s => s.getField("cluster")), 1, nProbe)
+    slice(transform(array_sort(scoredClusters(vec, model)),
+      s => s.getField("cluster")), 1, nProbe)
   }
 
   /** Batch search: a TABLE of queries against the inverted lists in ONE job

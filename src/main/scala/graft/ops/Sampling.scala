@@ -13,6 +13,24 @@ import graft.agg.TopKAgg
   */
 object Sampling {
 
+  /** The ONE keep-function every deterministic sampler shares (flat
+    * [[TextAnalysis.sampleByHash]], stratified, and their SQL oracles):
+    * FNV-1a of key+salt into a slot in [0, 1e6). The nesting guarantees —
+    * raising a rate only ADDS rows, a stratified sample nests inside the
+    * flat sample at an equal-or-higher rate, same salt — hold exactly
+    * because both samplers compare the SAME slot against their thresholds;
+    * duplicating this expression would let them silently drift apart.
+    */
+  private[ops] def hashSlot(key: Column, salt: String): Column =
+    pmod(graft.expr.SketchExprs.fnv64(concat(key.cast("string"), lit(salt))),
+      lit(1000000L))
+
+  /** Rate in [0,1] -> slot threshold (keep iff slot < threshold). */
+  private[ops] def slotThreshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
+    math.round(rate * 1000000L)
+  }
+
   /** Cap each group at its `k` smallest-id members ("first K docs per
     * domain" under deterministic doc_id order). Returns (g, id) kept rows.
     *
@@ -48,14 +66,10 @@ object Sampling {
   def stratifiedSampleByHash(df: DataFrame, key: Column, strata: Column,
       rates: Map[String, Double], defaultRate: Double,
       salt: String = ""): DataFrame = {
-    (rates.values.toSeq :+ defaultRate).foreach(r =>
-      require(r >= 0.0 && r <= 1.0, s"rate $r outside [0,1]"))
-    val thresholds = rates.map { case (s, r) => s -> math.round(r * 1000000L) }
+    val thresholds = rates.map { case (s, r) => s -> slotThreshold(r) }
     val cut = coalesce(
       element_at(typedLit(thresholds), strata.cast("string")),
-      lit(math.round(defaultRate * 1000000L)))
-    df.where(pmod(
-      graft.expr.SketchExprs.fnv64(concat(key.cast("string"), lit(salt))),
-      lit(1000000L)) < cut)
+      lit(slotThreshold(defaultRate)))
+    df.where(hashSlot(key, salt) < cut)
   }
 }

@@ -232,11 +232,8 @@ object TextAnalysis {
     * draw independent samples; map-side filter, no shuffle.
     */
   def sampleByHash(df: DataFrame, key: Column, rate: Double,
-      salt: String = ""): DataFrame = {
-    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
-    df.where(pmod(graft.expr.SketchExprs.fnv64(concat(key.cast("string"), lit(salt))),
-      lit(1000000L)) < lit(math.round(rate * 1000000L)))
-  }
+      salt: String = ""): DataFrame =
+    df.where(Sampling.hashSlot(key, salt) < lit(Sampling.slotThreshold(rate)))
 
   /** Winnowing-style document fingerprint: k-gram hashes, window minima,
     * distinct — robust to small edits. Composed from higher-order

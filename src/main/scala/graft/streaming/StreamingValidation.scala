@@ -84,16 +84,28 @@ object StreamingValidation {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val closed = batch
           .select(col("window.start").as("w"), col("kind"), col("n"))
           .persist()
         try {
           if (closed.count() > 0) {
-            closed.write.mode("append").parquet(windowsPath)
-            graft.checks.Drift
-              .psiGrouped(closed, baseline, col("w"), col("kind"), col("n"))
-              .write.mode("append").parquet(psiPath)
+            // idempotent on replay: a crash between these writes and the
+            // checkpoint commit re-runs this epoch, so each write targets
+            // its batch's OWN partition with dynamic overwrite — the retry
+            // replaces its previous attempt instead of appending duplicate
+            // window/PSI rows
+            def writeBatch(df: DataFrame, path: String): Unit =
+              df.withColumn("batch_id", lit(batchId))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(path)
+            writeBatch(closed, windowsPath)
+            writeBatch(
+              graft.checks.Drift
+                .psiGrouped(closed, baseline, col("w"), col("kind"), col("n")),
+              psiPath)
           }
         } finally { closed.unpersist(); () }
       }

@@ -12,4 +12,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The reliable-checkpoint file of a Dataset returned by
+    * `Dataset.checkpoint(...)`, once an action has materialized it.
+    * `Dataset.checkpoint` wraps the checkpointed internal RDD in a
+    * `LogicalRDD`, so true checkpoint OWNERSHIP is readable from the plan —
+    * the race-free alternative to diffing the (SparkContext-global)
+    * checkpoint directory's listing, which adopts any concurrent job's
+    * dirs created in the same window.
+    */
+  def checkpointFile(df: org.apache.spark.sql.Dataset[_]): Option[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.getCheckpointFile
+    }.flatten
 }

@@ -151,6 +151,17 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       (1L, s"$long1\n$long2\n$long1\nok\nok\n$long1"),
       (2L, s"$long2"),
       (3L, null.asInstanceOf[String])).toDF("doc_id", "t")
+    // plan check needs a FILE source (a local relation constant-folds the
+    // whole query away): the split must stay materialized in its own
+    // projection — if the optimizer inlines it into the filter lambda, the
+    // text re-splits once per line (the HOF-inlining pathology minhashPairs
+    // documents)
+    val planDir = java.nio.file.Files.createTempDirectory("graft-ldi").toString
+    df.where($"t".isNotNull).write.mode("overwrite").parquet(planDir)
+    val qf = Dedup.lineDedupIntra(spark.read.parquet(planDir), $"doc_id", $"t")
+    val nSplits = "split\\(".r
+      .findAllIn(qf.queryExecution.optimizedPlan.toString).length
+    assert(nSplits == 1, s"split inlined $nSplits times:\n${qf.queryExecution.optimizedPlan}")
     val out = Dedup.lineDedupIntra(df, $"doc_id", $"t")
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap

@@ -26,6 +26,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     def s(v):
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "NULL"
+        # inf must short-circuit BEFORE int(v): int(inf) raises OverflowError
+        # and would abort the whole compare instead of reporting a mismatch
+        if isinstance(v, float) and math.isinf(v):
+            return str(v)
         if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return str(v)
