@@ -85,31 +85,39 @@ object StreamingValidation {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val closed = batch
-          .select(col("window.start").as("w"), col("kind"), col("n"))
-          .persist()
-        try {
-          if (closed.count() > 0) {
-            // idempotent on replay: a crash between these writes and the
-            // checkpoint commit re-runs this epoch, so each write targets
-            // its batch's OWN partition with dynamic overwrite — the retry
-            // replaces its previous attempt instead of appending duplicate
-            // window/PSI rows
-            def writeBatch(df: DataFrame, path: String): Unit =
-              df.withColumn("batch_id", lit(batchId))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(path)
-            writeBatch(closed, windowsPath)
-            writeBatch(
-              graft.checks.Drift
-                .psiGrouped(closed, baseline, col("w"), col("kind"), col("n")),
-              psiPath)
-          }
-        } finally { closed.unpersist(); () }
+        landPsiBatch(batch, batchId, baseline, windowsPath, psiPath)
       }
       .start()
+
+  /** One epoch's landing (the foreachBatch body of
+    * [[startWindowedPsiSink]], extracted so replay idempotence is directly
+    * testable): write the batch's closed windows and their PSI scores,
+    * each into the epoch's OWN `batch_id` partition with dynamic
+    * overwrite. A crash between these writes and the checkpoint commit
+    * re-runs the epoch; the retry then REPLACES its previous attempt
+    * instead of appending duplicate window/PSI rows.
+    */
+  private[graft] def landPsiBatch(batch: DataFrame, batchId: Long,
+      baseline: DataFrame, windowsPath: String, psiPath: String): Unit = {
+    val closed = batch
+      .select(col("window.start").as("w"), col("kind"), col("n"))
+      .persist()
+    try {
+      if (closed.count() > 0) {
+        def writeBatch(df: DataFrame, path: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        writeBatch(closed, windowsPath)
+        writeBatch(
+          graft.checks.Drift
+            .psiGrouped(closed, baseline, col("w"), col("kind"), col("n")),
+          psiPath)
+      }
+    } finally { closed.unpersist(); () }
+  }
 
   /** One streamed dedup input row. */
   final case class DedupIn(khash: Long, key: String, doc_id: String,

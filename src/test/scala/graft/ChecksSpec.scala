@@ -30,6 +30,27 @@ class ChecksSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(a == b)
   }
 
+  test("custom aggregates reject wrong-typed inputs at analysis time") {
+    import org.apache.spark.sql.AnalysisException
+    // KmvAgg: a long key must be cast explicitly (the hash domain should be
+    // a deliberate choice), never a mid-job ClassCastException
+    val longs = spark.range(10)
+    intercept[AnalysisException] {
+      longs.agg(graft.agg.Kmv.sketch($"id", 64)).collect()
+    }
+    // TopKAgg: int id widens implicitly; a non-numeric id surfaces as a
+    // CLEAR cast error (never an opaque executor ClassCastException)
+    val df = Seq((1.0, 1), (2.0, 2)).toDF("s", "i")
+    val ok = df.agg(graft.agg.TopKAgg.topK($"s", $"i", 1)).collect()
+    assert(ok.head.getSeq[org.apache.spark.sql.Row](0).head.getLong(0) == 2L)
+    val e = intercept[Exception] {
+      Seq((1.0, "x")).toDF("s", "i")
+        .agg(graft.agg.TopKAgg.topK($"s", $"i", 1)).collect()
+    }
+    assert(!e.isInstanceOf[ClassCastException]
+      && e.getMessage.contains("CAST_INVALID_INPUT"), s"got $e")
+  }
+
   test("KMV sketch: split-merge equals single pass, idempotent, duplicate-proof") {
     import graft.agg.{Kmv, KmvBuf}
     val n = 5000

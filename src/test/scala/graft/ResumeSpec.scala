@@ -93,6 +93,50 @@ class ResumeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Ledger.mergedDocIdSketch(spark, tmp()).isEmpty)
   }
 
+  test("a pre-sketch ledger resumes: schemas merge, unsketched rows surface") {
+    import spark.implicits._
+    val out = tmp()
+    // simulate a ledger written by a build BEFORE docid_sketch existed
+    Seq(("run0", "snap0", "file-a", 10L))
+      .toDF("run_id", "snapshot_id", "file", "rows_validated")
+      .withColumn("completed_at", current_timestamp())
+      .write.mode("append").parquet(Ledger.path(out))
+    // post-upgrade rows land next to it
+    val sk = Seq("d1", "d2").toDF("s")
+      .agg(graft.agg.Kmv.sketch($"s", Ledger.SketchK))
+      .collect().head.getAs[Array[Byte]](0)
+    spark.createDataFrame(java.util.List.of(
+        org.apache.spark.sql.Row("run1", "snap0", "file-b", sk)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("run_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("snapshot_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("docid_sketch",
+          org.apache.spark.sql.types.BinaryType))))
+      .withColumn("completed_at", current_timestamp())
+      .write.mode("append").parquet(Ledger.path(out))
+    // read must see BOTH files' columns (mergeSchema), not one footer's
+    val rows = Ledger.read(spark, out)
+    assert(rows.count() == 2 && rows.columns.contains("docid_sketch")
+      && rows.columns.contains("rows_validated"))
+    // the merged estimate covers only sketched batches — and the audit
+    // surfaces exactly how many rows it excludes
+    assert(Ledger.unsketchedRows(spark, out) == 1)
+    val merged = Ledger.mergedDocIdSketch(spark, out).get
+    assert(graft.agg.KmvBuf.deserialize(merged).estimate == 2.0)
+    // an entirely pre-upgrade ledger (no sketch column at all) -> None
+    val oldOnly = tmp()
+    Seq(("run0", "f"))
+      .toDF("run_id", "file")
+      .withColumn("completed_at", current_timestamp())
+      .write.mode("append").parquet(Ledger.path(oldOnly))
+    assert(Ledger.mergedDocIdSketch(spark, oldOnly).isEmpty)
+    assert(Ledger.unsketchedRows(spark, oldOnly) == 1)
+  }
+
   test("a MID-batch crash (output written, ledger lost) replays without duplicates") {
     val in = tmp(); val out = tmp()
     writeCorpus(s"$in/docs", 180, 6)

@@ -22,6 +22,30 @@ class StreamingDriftSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   private def t(hm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hm:00")
 
+  test("PSI sink epoch replay is idempotent (re-landing a batch replaces, not appends)") {
+    val tmp = Files.createTempDirectory("graft-psi-replay").toString
+    val baseline = Seq(("a", 1L), ("b", 1L)).toDF("cat", "n_base")
+    def mkBatch(rows: Seq[(String, String, Long)]) =
+      rows.toDF("ws", "kind", "n")
+        .select(struct(to_timestamp(col("ws")).as("start")).as("window"),
+          col("kind"), col("n"))
+    val b0 = mkBatch(Seq(("2026-01-01 00:00:00", "a", 3L),
+      ("2026-01-01 00:00:00", "b", 1L)))
+    val b1 = mkBatch(Seq(("2026-01-01 01:00:00", "a", 2L)))
+    graft.streaming.StreamingValidation.landPsiBatch(
+      b0, 0L, baseline, s"$tmp/w", s"$tmp/p")
+    graft.streaming.StreamingValidation.landPsiBatch(
+      b1, 1L, baseline, s"$tmp/w", s"$tmp/p")
+    // the crash-replay: epoch 0 re-lands with the same content
+    graft.streaming.StreamingValidation.landPsiBatch(
+      b0, 0L, baseline, s"$tmp/w", s"$tmp/p")
+    val windows = spark.read.parquet(s"$tmp/w")
+    assert(windows.count() == 3, "replay duplicated window rows")
+    assert(spark.read.parquet(s"$tmp/p").count() == 2, "replay duplicated PSI rows")
+    // and epoch 1's rows survived epoch 0's replay (dynamic, not full, overwrite)
+    assert(windows.where(col("batch_id") === 1).count() == 1)
+  }
+
   test("stateless curation ops run unchanged on a stream with batch parity") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.ops.{Dedup, Sampling, TextAnalysis}
