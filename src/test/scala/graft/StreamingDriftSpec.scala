@@ -22,6 +22,36 @@ class StreamingDriftSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   private def t(hm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hm:00")
 
+  test("sessionSummaries binds to a watermarked stream; closed sessions match batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Sessions
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("u", "ts").withWatermark("ts", "10 minutes")
+    val q = Sessions.sessionSummaries(docs, col("u"), col("ts"), "30 minutes")
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    val rows = Seq(
+      (1L, t("10:00")), (1L, t("10:20")),      // session A (merged)
+      (2L, t("10:05")),                        // session B
+      (1L, t("11:30")),                        // session C (gap > 30m)
+      (2L, t("13:00")), (1L, t("13:00")))      // advance watermark far enough
+    try {
+      rows.grouped(2).foreach { chunk =>
+        input.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("sessions_stream")
+      .select("key", "session_start", "session_end", "n_events")
+    // batch over the same rows, restricted to sessions the stream CLOSED
+    // (watermark reached 12:50, so the 13:00 sessions are still open)
+    val batch = Sessions.sessionSummaries(
+        rows.toDF("u", "ts"), col("u"), col("ts"), "30 minutes")
+      .where(col("session_end") < to_timestamp(lit("2026-01-01 12:50:00")))
+    assert(streamed.count() == 3, streamed.collect().mkString(","))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("PSI sink epoch replay is idempotent (re-landing a batch replaces, not appends)") {
     val tmp = Files.createTempDirectory("graft-psi-replay").toString
     val baseline = Seq(("a", 1L), ("b", 1L)).toDF("cat", "n_base")
