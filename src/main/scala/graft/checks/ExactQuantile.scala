@@ -49,8 +49,14 @@ object ExactQuantile {
       spark.createDataFrame(java.util.List.of(Row.fromSeq(vals)), schema)
 
     val nParts = spark.sessionState.conf.numShufflePartitions
-    val counts = df.where(value.isNotNull)
+    // the per-value aggregation is persisted BEFORE repartitionByRange:
+    // RangePartitioner samples its child with an extra pass, which would
+    // otherwise recompute the whole aggregation (a full input scan) once
+    // for the sample and again for the real exchange
+    val base = df.where(value.isNotNull)
       .groupBy(value.as("v")).agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = base
       .repartitionByRange(nParts, col("v"))
       .withColumn("pid", spark_partition_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -71,6 +77,6 @@ object ExactQuantile {
         min(when(col("cum") >= lit(rankOf(n, p)), col("v"))).as(s"exact_p$p"))
       val res = cum.agg(aggs.head, aggs.tail: _*).collect().head
       oneRow(n +: percents.indices.map(res.get))
-    } finally counts.unpersist()
+    } finally { counts.unpersist(); base.unpersist() }
   }
 }

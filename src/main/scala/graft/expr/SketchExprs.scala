@@ -103,6 +103,45 @@ case class Fnv64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** argmax_cosine(vec) -> int: index of the centroid (row of the constant
+  * `centroids` matrix) with the highest cosine to `vec`, ties to the lower
+  * index — the IVF assignment kernel. Bit-identical to the HOF formulation
+  * it replaces (`array_min(transform(sequence(...), j ->
+  * struct(-cosine_sim(vec, cm[j]), j))).cluster`): the cosine uses the same
+  * double accumulation order as [[SketchKernels.cosine]], and the running
+  * comparison replicates struct-min ordering via `Double.compare` (so
+  * -0.0/0.0 edge ordering matches). A dimension mismatch made every
+  * negcos null in the old form, which struct-min resolved to cluster 0 —
+  * replicated explicitly. One fused codegen'd loop (k·dims multiply-adds)
+  * instead of k interpreted struct allocations + an interpreted array_min
+  * per row; the centroid matrix rides a codegen reference object, so the
+  * generated source is identical across models and the codegen cache hits
+  * (the typedLit formulation recompiled per trained model).
+  */
+case class ArgmaxCosine(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "argmax_cosine"
+
+  @transient private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.argmaxCosine(input.asInstanceOf[ArrayData], centroids, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.SketchKernels.argmaxCosine($c, $cRef, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArgmaxCosine =
+    copy(child = newChild)
+}
+
 /** cosine_sim(a, b) -> double over two float/double arrays — the ANN hot
   * path; a tight fused loop instead of zip_with+aggregate lambda towers.
   * Returns 0.0 when either norm is 0; null on length mismatch.
@@ -271,6 +310,34 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  def argmaxCosine(vec: ArrayData, centroids: Array[Array[Float]],
+      isFloat: Boolean): Int = {
+    val dims = centroids(0).length
+    // dimension mismatch: the HOF formulation yielded null negcos for every
+    // centroid, and struct-min resolved the all-null tie to cluster 0
+    if (vec.numElements() != dims) return 0
+    var bestJ = 0
+    var bestCos = java.lang.Double.NEGATIVE_INFINITY
+    var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dims) {
+        val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        val y = c(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      if (j == 0 || java.lang.Double.compare(cos, bestCos) > 0) {
+        bestCos = cos; bestJ = j
+      }
+      j += 1
+    }
+    bestJ
+  }
+
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (b.numElements() != n) return null
@@ -298,4 +365,6 @@ object SketchExprs {
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
   def hyperplaneBands(vec: Column, bands: Int, rowsPerBand: Int, dims: Int): Column =
     Bridge.column(HyperplaneBands(Bridge.expression(vec), bands, rowsPerBand, dims))
+  def argmaxCosine(vec: Column, centroids: Array[Array[Float]]): Column =
+    Bridge.column(ArgmaxCosine(Bridge.expression(vec), centroids))
 }

@@ -73,12 +73,17 @@ object Ivf {
     if (n == 0) v else v.map(x => (x / n).toFloat)
   }
 
-  /** Argmax-cosine cluster id for `vec` against the (broadcast-literal)
-    * centroid matrix — ties break to the lower cluster id. One expression,
-    * map-only, k × dims multiplies per row.
+  /** Argmax-cosine cluster id for `vec` against the centroid matrix — ties
+    * break to the lower cluster id. One codegen'd kernel
+    * ([[graft.expr.ArgmaxCosine]]: k × dims fused multiply-adds per row),
+    * bit-identical to the interpreted
+    * `array_min(scoredClusters(...)).cluster` formulation it replaces —
+    * [[probeClusters]] still uses [[scoredClusters]], and the shared
+    * ranking contract (cosine DESC, ties to the lower cluster id) is
+    * pinned by IvfSpec against both formulations.
     */
   def clusterOf(vec: Column, model: Model): Column =
-    array_min(scoredClusters(vec, model)).getField("cluster")
+    graft.expr.SketchExprs.argmaxCosine(vec, model.centroids)
 
   /** (negated-cosine, cluster-id) structs for `vec` against the broadcast-
     * literal centroid matrix — the ONE ranking contract (cosine DESC, ties
@@ -102,28 +107,35 @@ object Ivf {
     */
   def train(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int = 3): Model = {
     require(k > 0 && iters >= 0)
-    val seeds = df.select(vec.as("v"), xxhash64(id).as("h"))
-      .orderBy(col("h"), col("v"))
-      .limit(k)
-      .select(col("v"))
-      .collect()
-      .map(r => normalize(r.getSeq[Float](0).toArray))
-    require(seeds.length == k,
-      s"ivf: need >= $k training vectors, got ${seeds.length}")
-    var model = Model(seeds)
-    val data = df.select(vec.as("v"))
-    for (_ <- 0 until iters) {
-      val means = data
-        .groupBy(clusterOf(col("v"), model).as("cluster"))
-        .agg(VectorAvgAgg.vectorAvg(col("v")).as("m"))
-        .select(col("cluster"), col("m.avg"))
+    // train is inherently iterative (seed job + one aggregation per Lloyd
+    // round): persist the projected training columns so each round reads
+    // the cached (id-hash, vector) pairs instead of rescanning the source
+    // (at extreme scale the caller trains on a sample, which this caches)
+    val data = df.select(vec.as("v"), xxhash64(id).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds = data
+        .orderBy(col("h"), col("v"))
+        .limit(k)
+        .select(col("v"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
-        .toMap
-      model = Model(Array.tabulate(model.k)(c =>
-        means.get(c).map(normalize).getOrElse(model.centroids(c))))
-    }
-    model
+        .map(r => normalize(r.getSeq[Float](0).toArray))
+      require(seeds.length == k,
+        s"ivf: need >= $k training vectors, got ${seeds.length}")
+      var model = Model(seeds)
+      for (_ <- 0 until iters) {
+        val means = data
+          .groupBy(clusterOf(col("v"), model).as("cluster"))
+          .agg(VectorAvgAgg.vectorAvg(col("v")).as("m"))
+          .select(col("cluster"), col("m.avg"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+          .toMap
+        model = Model(Array.tabulate(model.k)(c =>
+          means.get(c).map(normalize).getOrElse(model.centroids(c))))
+      }
+      model
+    } finally data.unpersist()
   }
 
   /** Inverted lists: (id, v, cluster). Persist with
@@ -137,9 +149,17 @@ object Ivf {
     * becomes a PARTITION COLUMN, so [[search]]'s probe filter prunes whole
     * directories at the scan — a probe of nProbe/k clusters reads ~nProbe/k
     * of the index bytes (asserted via scan numFiles in IvfSpec).
+    *
+    * The rows are hash-repartitioned on `cluster` before the write
+    * (guide §6, small files): without it every upstream task writes a
+    * sliver into every cluster directory — up to tasks × k files of a few
+    * KB each, paid again at every probe as per-file open cost. AQE
+    * coalescing sizes the shuffle output, so big clusters still split
+    * across several files at real scale rather than one giant file.
     */
   def writeIndex(index: DataFrame, dir: String): Unit =
-    index.write.mode("overwrite").partitionBy("cluster").parquet(dir)
+    index.repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(dir)
 
   /** Read a partitioned index written by [[writeIndex]]. */
   def readIndex(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =

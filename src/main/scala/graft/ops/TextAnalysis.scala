@@ -74,16 +74,18 @@ object TextAnalysis {
     * zero hits -> "und", ISO for undetermined). Pure columns: a greatest()
     * over (score, lang) structs.
     */
-  def langId(text: Column): Column = {
-    val toks = Dedup.tokens(text)
-    val scored = LangMarkers.map { case (lang, words) =>
-      struct(
-        size(filter(toks, t => t.isin(words.map(lit): _*))).as("score"),
-        lit(lang).as("lang"))
+  def langId(text: Column): Column =
+    // bindOnce: one tokenizing split per row, not one per language's filter
+    // (see Dedup.bindOnce — each HOF argument re-evaluates its input)
+    Dedup.bindOnce(Dedup.tokens(text)) { toks =>
+      val scored = LangMarkers.map { case (lang, words) =>
+        struct(
+          size(filter(toks, t => t.isin(words.map(lit): _*))).as("score"),
+          lit(lang).as("lang"))
+      }
+      val best = greatest(scored: _*)
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
     }
-    val best = greatest(scored: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
 
   /** Character-n-gram language profiles for [[langIdNgram]]: per language,
     * distinctive digraphs/trigraphs plus space-padded function words (the
@@ -242,13 +244,17 @@ object TextAnalysis {
     * reproducible by the DuckDB oracle in plain SQL (signed-min semantics
     * over the two's-complement hash values).
     */
-  def fingerprint(text: Column, k: Int = 5, window: Int = 4): Column = {
-    val grams = Dedup.shingles(text, k)
-    val hashes = transform(grams, g => graft.expr.SketchExprs.fnv64(g))
-    val mins = when(size(hashes) >= window,
-      transform(sequence(lit(0), size(hashes) - window),
-        i => array_min(slice(hashes, i + 1, lit(window)))))
-      .otherwise(array(array_min(hashes)))
-    array_sort(array_distinct(mins))
-  }
+  def fingerprint(text: Column, k: Int = 5, window: Int = 4): Column =
+    // bindOnce: the window-minima lambda references the gram-hash array —
+    // unbound, each window position would re-shingle and re-hash the whole
+    // document (O(grams²·k) per row; see Dedup.bindOnce)
+    Dedup.bindOnce(
+      transform(Dedup.shingles(text, k), g => graft.expr.SketchExprs.fnv64(g))) {
+      hashes =>
+        val mins = when(size(hashes) >= window,
+          transform(sequence(lit(0), size(hashes) - window),
+            i => array_min(slice(hashes, i + 1, lit(window)))))
+          .otherwise(array(array_min(hashes)))
+        array_sort(array_distinct(mins))
+    }
 }

@@ -102,6 +102,26 @@ class IvfSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(approx.intersect(exact).size >= 5, s"recall too low: $approx vs $exact")
   }
 
+  test("clusterOf argmax kernel is value-identical to the HOF struct-min formulation") {
+    // the r6 optimization replaced array_min(transform(...struct(-cosine,
+    // j)...)) with the fused ArgmaxCosine kernel; this pins the two
+    // formulations row-for-row on both a trained model (double-noise
+    // centroids) and the axis model over the real float embeddings
+    def hofClusterOf(vec: org.apache.spark.sql.Column, model: Ivf.Model) = {
+      val cm = typedLit(model.centroids.map(_.toSeq).toSeq)
+      array_min(transform(sequence(lit(0), lit(model.k - 1)), j =>
+        struct(
+          (-graft.expr.SketchExprs.cosineSim(vec, element_at(cm, j + 1))).as("negcos"),
+          j.cast("int").as("cluster")))).getField("cluster")
+    }
+    val m1 = Ivf.train(clustered, $"vec_id", $"embedding", k = 4, iters = 2)
+    assert(clustered.where(
+      Ivf.clusterOf($"embedding", m1) =!= hofClusterOf($"embedding", m1)).count() == 0)
+    val m2 = Ivf.Model.axis(8, 64)
+    assert(emb.where(
+      Ivf.clusterOf($"embedding", m2) =!= hofClusterOf($"embedding", m2)).count() == 0)
+  }
+
   test("ivf: a partitioned index prunes non-probed clusters at the scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val model = Ivf.train(clustered, $"vec_id", $"embedding", k = 4, iters = 2)
