@@ -138,7 +138,19 @@ object Dedup {
     // of static slices (NOT transform/sequence with sig inside the lambda) —
     // a lambda-bound formulation re-evaluates the minhash per band element
     // after optimizer inlining (measured 176s vs 23s on sf0.1, 2026-08-16).
-    val bandRows = withSig.select(col("id"), col("sig"),
+    //
+    // The signature copy riding the band fan-out exists ONLY for the
+    // estimate prefilter, so it is truncated to 7 bits per component
+    // (array<tinyint>, ~6x fewer bytes than the full array<bigint> — the
+    // full sig was ~16 KB per doc across 32 bands, the dominant shuffle
+    // volume of the whole operator). Truncation is output-preserving:
+    // equal 64-bit components are equal truncated, so the estimated match
+    // count only GROWS — the prefilter admits a (negligibly) wider
+    // candidate superset and the exact-Jaccard verify decides membership
+    // exactly as before. (7 bits: ANSI-safe tinyint range; false equality
+    // 2^-7 per component inflates the estimate by ~0.5 of 64 components.)
+    val bandRows = withSig.select(col("id"),
+      transform(col("sig"), h => h.bitwiseAND(lit(127L)).cast("tinyint")).as("sige"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
         .as(Seq("band", "bh")))
@@ -146,13 +158,13 @@ object Dedup {
     // deterministically capped, then expand i<j pairs intra-row
     val buckets = bandRows
       .groupBy(col("band"), col("bh"))
-      .agg(slice(sort_array(collect_list(struct(col("id"), col("sig")))),
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("sige")))),
         1, maxBucket).as("ms"))
       .where(size(col("ms")) > 1)
     val estMatches = lit((math.ceil((threshold - estMargin) * numHashes)).toInt)
     val candidates = buckets.select(expandPairs(col("ms"), (a, b) => {
         val matches = size(filter(
-          zip_with(a.getField("sig"), b.getField("sig"),
+          zip_with(a.getField("sige"), b.getField("sige"),
             (x, y) => x === y), m => m))
         struct(
           least(a.getField("id"), b.getField("id")).as("a"),
@@ -164,7 +176,23 @@ object Dedup {
       .where(col("a") =!= col("b")) // duplicate-id inputs expand to self-pairs
       .groupBy(col("a"), col("b")).agg(lit(1)) // dedupe across bands
       .select(struct(col("a"), col("b")).as("p"))
-    // exact verify: ONE scan of the shingle table, joined to both pair sides
+    verifyPairs(candidates, withSh, threshold)
+  }
+
+  /** Exact-Jaccard verification tail shared by [[minhashPairs]] and
+    * [[ngramJaccardPairs]]: ONE scan of the per-doc shingle table, joined
+    * to both pair sides (the small side broadcasts), exact jaccard once
+    * per surviving pair. Shingles are computed per DOCUMENT, not per
+    * candidate side — a doc appearing in many candidates must not pay the
+    * shingle computation once per pair (an A/B with post-join shingling
+    * measured 2x slower on dedup_ngram_pairs for exactly that reason).
+    *
+    * @param candidates one column `p` = struct(a, b)
+    * @param withSh     (id, sh) distinct-shingle table
+    * @return (a, b, jaccard) with exact jaccard >= threshold
+    */
+  private def verifyPairs(candidates: DataFrame, withSh: DataFrame,
+      threshold: Double): DataFrame = {
     val sides = candidates
       .select(col("p"), explode(array(col("p.a"), col("p.b"))).as("id"))
     sides.join(withSh, Seq("id"))
@@ -267,17 +295,11 @@ object Dedup {
       .where(col("a") =!= col("b")) // duplicate-id inputs expand to self-pairs
       .groupBy(col("a"), col("b")).agg(lit(1))
       .select(struct(col("a"), col("b")).as("p"))
-    // exact verify: ONE scan of the shingle table joined to both pair sides
-    val sides = candidates
-      .select(col("p"), explode(array(col("p.a"), col("p.b"))).as("id"))
-    sides.join(withSh, Seq("id"))
-      .groupBy(col("p"))
-      .agg(min_by(col("sh"), col("id")).as("sha"), max_by(col("sh"), col("id")).as("shb"),
-        count(lit(1)).as("nsides"))
-      .where(col("nsides") === 2)
-      .select(col("p.a").as("a"), col("p.b").as("b"),
-        jaccard(col("sha"), col("shb")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    // exact verify: ONE scan of the shingle table joined to both pair
+    // sides (see [[verifyPairs]] — shingling per DOC, not per candidate
+    // side: an A/B of shingling after the join measured 2x slower here
+    // because a doc pays once per candidate it appears in)
+    verifyPairs(candidates, withSh, threshold)
   }
 
   /** SimHash near-dup pairs: 64-bit signature, bucketed with the
@@ -522,8 +544,16 @@ object Dedup {
     // twice just to build the edges
     val p = pairs.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
       .localCheckpoint()
+    // the symmetric edge view is STATIC across rounds but joined on y every
+    // round — pre-partition it by the join key and persist, so each round's
+    // neighbor join shuffles only the (small) label side instead of
+    // re-exchanging the full edge table per round (guide §2.4: operations
+    // keyed the same way share one exchange; the cached partitioning is
+    // what survives across the loop's separate jobs)
     val edges = p.select(col("u").as("x"), col("v").as("y"))
       .unionByName(p.select(col("v").as("x"), col("u").as("y")))
+      .repartition(col("y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("x").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -570,6 +600,7 @@ object Dedup {
       iter += 1
     }
     roundCache.foreach(_.unpersist())
+    edges.unpersist()
     p.unpersist()
     require(converged, s"dupClusters: not converged after $maxIters rounds " +
       "(pathological chain graph — raise maxIters)")
