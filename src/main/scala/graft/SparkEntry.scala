@@ -605,8 +605,13 @@ object SparkEntry {
       // exact discrete quantiles computed DISTRIBUTIVELY (range-partitioned
       // prefix-sum CDF; only the 1-row result is collected) with shared
       // integer rank math — smallest v with cumulative count >=
-      // ceilDiv(p*n, 100), the same definition the DuckDB oracle uses
-      val ex = checks.ExactQuantile.percentiles(lens, col("v"), ps)
+      // ceilDiv(p*n, 100), the same definition the DuckDB oracle uses.
+      // The sketch rank-audit counts (rows <= q / < q per approx quantile)
+      // ride the SAME final aggregation pass (percentilesWithCuts), so the
+      // flag computation below is pure driver arithmetic on the collected
+      // one-row result instead of a second full scan of the value column
+      // (r6; flags are the identical double comparisons the scan computed).
+      val ex = checks.ExactQuantile.percentilesWithCuts(lens, col("v"), ps, qs)
         .collect().head
       val nRows = ex.getLong(0)
       val exact = ps.indices.map(i => ex.getLong(i + 1))
@@ -614,17 +619,17 @@ object SparkEntry {
       // [(p-eps)n, (p+eps)n]. Rank-check the sketch against the data:
       //   frac(v <= q) >= p - eps  (q not too small), and
       //   frac(v <  q) <= p + eps  (q not too large).
-      val aggCols =
-        count(lit(1)).as("n_rows") +:
+      val nD = nRows.toDouble
+      val outCols =
+        lit(nRows).as("n_rows") +:
         ps.zip(exact).map { case (p, e) => lit(e).as(s"exact_p$p") } ++:
-        ps.zip(qs).map { case (p, q) =>
-          val n = count(lit(1)).cast("double")
-          val le = count(when(col("v") <= q, 1)).cast("double") / n
-          val lt = count(when(col("v") < q, 1)).cast("double") / n
-          (le >= lit(p / 100.0 - eps) && lt <= lit(p / 100.0 + eps))
-            .cast("int").as(s"p${p}_ok")
+        ps.zipWithIndex.map { case (p, i) =>
+          val le = ex.getLong(1 + ps.size + 2 * i).toDouble / nD
+          val lt = ex.getLong(1 + ps.size + 2 * i + 1).toDouble / nD
+          lit(if (le >= p / 100.0 - eps && lt <= p / 100.0 + eps) 1 else 0)
+            .as(s"p${p}_ok")
         }
-      lens.agg(aggCols.head, aggCols.tail: _*)
+      s.range(1).select(outCols: _*)
     }),
     // cross-run mergeable distinct sketch (the ledger resume path): KMV
     // sketches of two disjoint halves of the corpus — standing in for two

@@ -37,14 +37,28 @@ object ExactQuantile {
   /** One row: (n_rows, exact_p<p1>, exact_p<p2>, ...). Null values are
     * excluded; an empty input yields n_rows = 0 with null percentiles.
     */
-  def percentiles(df: DataFrame, value: Column, percents: Seq[Int]): DataFrame = {
+  def percentiles(df: DataFrame, value: Column, percents: Seq[Int]): DataFrame =
+    percentilesWithCuts(df, value, percents, Nil)
+
+  /** [[percentiles]] plus, per cut value q (long-typed `value` columns),
+    * the exact number of rows <= q (`le_<i>`) and < q (`lt_<i>`) — the
+    * inputs of a quantile-sketch rank audit. The cut counts ride the SAME
+    * final aggregation pass as the percentile extraction, so auditing a
+    * sketch costs no extra scan of the input (r6: the caller previously
+    * re-scanned the full value column for these counts).
+    */
+  def percentilesWithCuts(df: DataFrame, value: Column, percents: Seq[Int],
+      cuts: Seq[Long]): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       s"percents must be in [1, 100]: $percents")
     val spark = df.sparkSession
     val valueType = df.select(value.as("v")).schema.head.dataType
     val schema = StructType(
       StructField("n_rows", LongType, nullable = false) +:
-        percents.map(p => StructField(s"exact_p$p", valueType, nullable = true)))
+        (percents.map(p => StructField(s"exact_p$p", valueType, nullable = true)) ++
+          cuts.indices.flatMap(i => Seq(
+            StructField(s"le_$i", LongType, nullable = false),
+            StructField(s"lt_$i", LongType, nullable = false)))))
     def oneRow(vals: Seq[Any]): DataFrame =
       spark.createDataFrame(java.util.List.of(Row.fromSeq(vals)), schema)
 
@@ -65,7 +79,9 @@ object ExactQuantile {
       val subtotals = counts.groupBy(col("pid")).agg(sum(col("c")).as("t"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val n = subtotals.values.sum
-      if (n == 0L) return oneRow(0L +: percents.map(_ => null))
+      if (n == 0L)
+        return oneRow(0L +: (percents.map(_ => null) ++
+          cuts.flatMap(_ => Seq(0L, 0L))))
       val maxPid = subtotals.keys.max
       // offsets(pid) = rows in all partitions BEFORE pid
       val offsets = (0 to maxPid).scanLeft(0L)(
@@ -74,9 +90,13 @@ object ExactQuantile {
       val cum = counts.withColumn("cum",
         sum(col("c")).over(w) + element_at(typedLit(offsets), col("pid") + 1))
       val aggs = percents.map(p =>
-        min(when(col("cum") >= lit(rankOf(n, p)), col("v"))).as(s"exact_p$p"))
+        min(when(col("cum") >= lit(rankOf(n, p)), col("v"))).as(s"exact_p$p")) ++
+        cuts.zipWithIndex.flatMap { case (q, i) => Seq(
+          coalesce(sum(when(col("v") <= lit(q), col("c"))), lit(0L)).as(s"le_$i"),
+          coalesce(sum(when(col("v") < lit(q), col("c"))), lit(0L)).as(s"lt_$i"))
+        }
       val res = cum.agg(aggs.head, aggs.tail: _*).collect().head
-      oneRow(n +: percents.indices.map(res.get))
+      oneRow(n +: (0 until (percents.size + 2 * cuts.size)).map(res.get))
     } finally { counts.unpersist(); base.unpersist() }
   }
 }

@@ -142,6 +142,46 @@ case class ArgmaxCosine(child: Expression, centroids: Array[Array[Float]])
     copy(child = newChild)
 }
 
+/** langid_ngram(lowered_text) -> string: argmax over per-language
+  * profile-gram occurrence totals — the fused kernel behind
+  * [[graft.ops.TextAnalysis.langIdNgram]]. Value-identical to the
+  * `greatest()` over per-gram replace()-count columns it replaces: each
+  * gram's count is its non-overlapping left-to-right occurrence count
+  * (indexOf stepping by the gram length — exactly what the
+  * (len - len(replace(t, g, ''))) / len(g) formulation measures), the
+  * winner is the max (score, lang) pair with ties to the
+  * lexicographically larger code (struct-greatest semantics), and a zero
+  * total yields "und". One pass per gram without the per-gram full-string
+  * replace ALLOCATION (the old form materialized ~31 rewritten copies of
+  * the text per row).
+  */
+case class LangIdNgram(child: Expression, profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+  require(profiles.nonEmpty && profiles.forall(_._2.nonEmpty))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "langid_ngram"
+
+  @transient private lazy val langsU: Array[UTF8String] =
+    profiles.map(p => UTF8String.fromString(p._1)).toArray
+  @transient private lazy val gramsU: Array[Array[UTF8String]] =
+    profiles.map(_._2.map(UTF8String.fromString).toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.langIdNgram(input.asInstanceOf[UTF8String], langsU, gramsU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("langs", langsU,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val gRef = ctx.addReferenceObj("grams", gramsU,
+      "org.apache.spark.unsafe.types.UTF8String[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.SketchKernels.langIdNgram($c, $lRef, $gRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdNgram =
+    copy(child = newChild)
+}
+
 /** cosine_sim(a, b) -> double over two float/double arrays — the ANN hot
   * path; a tight fused loop instead of zip_with+aggregate lambda towers.
   * Returns 0.0 when either norm is 0; null on length mismatch.
@@ -310,6 +350,39 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  private val Und = UTF8String.fromString("und")
+
+  def langIdNgram(t: UTF8String, langs: Array[UTF8String],
+      grams: Array[Array[UTF8String]]): UTF8String = {
+    var bestScore = 0
+    var bestLang: UTF8String = null
+    var i = 0
+    while (i < langs.length) {
+      var s = 0
+      val gs = grams(i)
+      var gi = 0
+      while (gi < gs.length) {
+        val g = gs(gi)
+        var from = 0
+        var pos = t.indexOf(g, from)
+        while (pos >= 0) {
+          s += 1
+          from = pos + g.numChars
+          pos = t.indexOf(g, from)
+        }
+        gi += 1
+      }
+      // struct-greatest semantics: max score, ties to the larger code
+      if (bestLang == null || s > bestScore ||
+          (s == bestScore && langs(i).compareTo(bestLang) > 0)) {
+        bestScore = s
+        bestLang = langs(i)
+      }
+      i += 1
+    }
+    if (bestScore > 0) bestLang else Und
+  }
+
   def argmaxCosine(vec: ArrayData, centroids: Array[Array[Float]],
       isFloat: Boolean): Int = {
     val dims = centroids(0).length
@@ -367,4 +440,6 @@ object SketchExprs {
     Bridge.column(HyperplaneBands(Bridge.expression(vec), bands, rowsPerBand, dims))
   def argmaxCosine(vec: Column, centroids: Array[Array[Float]]): Column =
     Bridge.column(ArgmaxCosine(Bridge.expression(vec), centroids))
+  def langIdNgram(loweredText: Column, profiles: Seq[(String, Seq[String])]): Column =
+    Bridge.column(LangIdNgram(Bridge.expression(loweredText), profiles))
 }

@@ -115,15 +115,15 @@ object TextAnalysis {
     * suffixes) and function words, so short or marker-free text still
     * scores. Pure codegen'd columns, no shuffle.
     */
-  def langIdNgram(text: Column): Column = {
-    val t = lower(text)
-    val scored = LangProfiles.map { case (lang, gs) =>
-      struct(gs.map(g => gramCount(t, g)).reduce(_ + _).as("score"),
-        lit(lang).as("lang"))
-    }
-    val best = greatest(scored: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  def langIdNgram(text: Column): Column =
+    // one fused codegen'd kernel ([[graft.expr.LangIdNgram]]) instead of a
+    // greatest() over ~31 per-gram replace()-count columns, each of which
+    // allocated a rewritten copy of the text per row; value parity with
+    // the column formulation (including the null -> "und" path, handled
+    // here since the kernel null-propagates) is pinned in OpsSpec
+    when(text.isNotNull,
+      graft.expr.SketchExprs.langIdNgram(lower(text), LangProfiles))
+      .otherwise(lit("und"))
 
   /** Deterministic per-language pangram-style snippets used to derive a
     * multilingual test corpus from the (English-ish) synthetic documents

@@ -88,6 +88,34 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.foreach { case (expected, got) => assert(got == expected, s"snippet for $expected") }
   }
 
+  test("langIdNgram kernel is value-identical to the replace()-count column formulation") {
+    // the r6 optimization fused the per-gram replace()-count columns into
+    // one kernel; this pins the kernel row-for-row against the original
+    // greatest()-of-gramCounts formulation over the real corpus derivation
+    // (snippet + text slice, all five languages), plus null/und edges
+    def columnLangId(text: org.apache.spark.sql.Column) = {
+      val t = lower(text)
+      val scored = TextAnalysis.LangProfiles.map { case (lang, gs) =>
+        struct(gs.map(g => TextAnalysis.gramCount(t, g)).reduce(_ + _).as("score"),
+          lit(lang).as("lang"))
+      }
+      val best = greatest(scored: _*)
+      when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sn = typedLit(TextAnalysis.LangSnippets.map(_._2))
+    val derived = docs
+      .select($"doc_id", concat(
+        element_at(sn, pmod($"doc_id", lit(5)).cast("int") + 1),
+        lit(" "), substring(lower(coalesce($"text", lit(""))), 1, 60)).as("t2"))
+      .unionByName(Seq((-1L, "zzz qqq 12345")).toDF("doc_id", "t2"))
+      .unionByName(Seq((-2L, null.asInstanceOf[String])).toDF("doc_id", "t2"))
+    val diff = derived.select(
+        TextAnalysis.langIdNgram($"t2").as("a"), columnLangId($"t2").as("b"))
+      .where(not($"a" <=> $"b")).count()
+    assert(diff == 0)
+  }
+
   test("capPerGroup keeps the k smallest ids per group, partition-independently") {
     import graft.ops.Sampling
     val rows = (0L until 50L).map(i => (s"g${i % 3}", i))
