@@ -255,8 +255,16 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // null text excluded — see minhashPairs
     val withSh = df.where(text.isNotNull).select(id.as("id"), shingles(text, n).as("sh"))
+    // explode_OUTER, deliberately: `sh` is provably non-null and non-empty
+    // here (text is filtered non-null and rawShingles always yields >= 1
+    // element), so outer and inner explode emit identical rows — but the
+    // inner form triggers InferFiltersFromGenerate, which pushes an
+    // inferred `size(sh) > 0 AND isnotnull(sh)` below the projection with
+    // the WHOLE shingle expression substituted in: shingles were being
+    // evaluated 3x per row on each of the two inv consumers (seen in the
+    // formatted plan; the outer form is exempt from that rule)
     val inv = withSh.select(col("id"), size(col("sh")).as("len"),
-      explode(col("sh")).as("shingle"))
+      explode_outer(col("sh")).as("shingle"))
     val dfreq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val prefix = inv.join(dfreq, Seq("shingle"))
       .withColumn("rn", row_number().over(
