@@ -429,15 +429,34 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("band exchanges carry keys only: no vector / no shingle payload") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, StringType}
-    val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    // the same assertions run twice: against the static AQE-off plan AND
+    // against the AQE-ON final executed plan (round-5 verdict: AQE
+    // re-plans exchanges, so an AQE-off-only pin can miss exactly the
+    // divergence it exists to prevent; Bridge.finalPlanNodes unwraps the
+    // adaptive wrappers after an action has materialized the stages)
+    // NB: a Dataset caches its QueryExecution on first access, and
+    // df.write spawns a SEPARATE execution — so each phase gets a freshly
+    // constructed DataFrame, and the AQE phase materializes via collect()
+    // (which executes the Dataset's OWN queryExecution, flipping the
+    // adaptive plan to isFinalPlan=true before inspection)
+    def exchanges(df: org.apache.spark.sql.DataFrame, aqe: Boolean) =
+      if (aqe) {
+        df.collect()
+        org.apache.spark.sql.graftbridge.Bridge.finalPlanNodes(df).collect {
+          case e: ShuffleExchangeExec => e
+        }.distinct
+      } else {
+        val prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e
+        } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      }
+    for (aqe <- Seq(false, true)) {
       def bandExchanges(df: org.apache.spark.sql.DataFrame) = {
-        val ex = df.queryExecution.executedPlan.collect {
-          case e: ShuffleExchangeExec
-              if e.outputPartitioning.toString.contains("band") => e
-        }
-        assert(ex.nonEmpty, "expected a band-keyed exchange in the plan")
+        val ex = exchanges(df, aqe)
+          .filter(_.outputPartitioning.toString.contains("band"))
+        assert(ex.nonEmpty, s"expected a band-keyed exchange (aqe=$aqe)")
         ex
       }
       // embedding LSH: the x`bands` fan-out must not carry the embedding
@@ -447,7 +466,8 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
           case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
           case _                                                  => false
         })
-        assert(vecs.isEmpty, s"vector column rides the band exchange: ${e.output}")
+        assert(vecs.isEmpty,
+          s"vector column rides the band exchange (aqe=$aqe): ${e.output}")
       }
       // minhash LSH: the x`bands` fan-out must not carry the shingle arrays
       bandExchanges(Dedup.minhashPairs(docs, $"doc_id", $"text")).foreach { e =>
@@ -455,7 +475,8 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
           case ArrayType(StringType, _) => true
           case _                        => false
         })
-        assert(shingleCols.isEmpty, s"shingles ride the band exchange: ${e.output}")
+        assert(shingleCols.isEmpty,
+          s"shingles ride the band exchange (aqe=$aqe): ${e.output}")
       }
       // ANN query path (annTopKCosine): the candidate dedup after the band
       // join must be id-only; the ONLY exchange allowed to carry the
@@ -463,16 +484,14 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // exploded (id, vector, bh) x bands and distinct'ed (id, vector).)
       val q = (0 until 64).map(_ => 0.1f)
       val annPlan = Similarity.annTopKCosine(emb, $"vec_id", $"embedding", q, 10)
-      val vecExchanges = annPlan.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec if e.output.exists(_.dataType match {
-          case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
-          case _                                                  => false
-        }) => e
-      }
+      val vecExchanges = exchanges(annPlan, aqe).filter(_.output.exists(_.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+        case _                                                  => false
+      }))
       assert(vecExchanges.size <= 1,
         s"vector payload rides ${vecExchanges.size} exchanges (want <=1, the " +
-          s"re-rank fetch): ${vecExchanges.map(_.output)}")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+          s"re-rank fetch; aqe=$aqe): ${vecExchanges.map(_.output)}")
+    }
   }
 
   test("simhash mass-duplicate boilerplate keeps candidate volume sub-quadratic") {
@@ -657,27 +676,42 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
     val queries = emb.where($"vec_id" % 100 === 0)
-    val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      // toy banding (see the single-query recall test above): 16 bands of 4
-      // hyperplanes — the batch test spans 5 queries, so it needs a higher
-      // per-query collision floor than one lucky query does
-      val plan = Similarity.annTopKCosineBatch(emb, $"vec_id", $"embedding",
-        queries, $"vec_id", $"embedding", k = 10, bands = 16, rowsPerBand = 4)
-      val vecExchanges = plan.queryExecution.executedPlan.collect {
+    // toy banding (see the single-query recall test above): 16 bands of 4
+    // hyperplanes — the batch test spans 5 queries, so it needs a higher
+    // per-query collision floor than one lucky query does. Fresh plan per
+    // phase — a Dataset caches its QueryExecution on first access.
+    def mkPlan = Similarity.annTopKCosineBatch(emb, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 10, bands = 16, rowsPerBand = 4)
+    // the thin-exchange invariant, pinned BOTH AQE-off (static plan) and
+    // AQE-on (final executed plan via Bridge.finalPlanNodes — round-5
+    // verdict asked for the adaptive re-pin)
+    def vecExchanges(nodes: Seq[org.apache.spark.sql.execution.SparkPlan]) =
+      nodes.collect {
         case e: ShuffleExchangeExec if e.output.exists(_.dataType match {
           case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
           case _                                                  => false
         }) => e
-      }
-      // the only exchange allowed a vector payload is the re-rank fetch
-      assert(vecExchanges.size <= 1,
-        s"vector payload rides ${vecExchanges.size} exchanges: " +
-          s"${vecExchanges.map(_.output)}")
+      }.distinct
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val staticVec = try vecExchanges(
+      mkPlan.queryExecution.executedPlan.collect { case p => p })
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert(staticVec.size <= 1,
+      s"vector payload rides ${staticVec.size} exchanges (static): " +
+        s"${staticVec.map(_.output)}")
+    locally {
+      val plan = mkPlan
       val approx = plan.collect()
         .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
         .map { case (q, rs) => q -> rs.map(_._2).toSet }
+      // collect() above materialized the adaptive stages: pin the invariant
+      // on the FINAL executed plan too
+      val adaptiveVec = vecExchanges(
+        org.apache.spark.sql.graftbridge.Bridge.finalPlanNodes(plan))
+      assert(adaptiveVec.size <= 1,
+        s"vector payload rides ${adaptiveVec.size} exchanges (aqe final): " +
+          s"${adaptiveVec.map(_.output)}")
       val exact = Similarity.topKCosineBatch(emb, $"vec_id", $"embedding",
           queries, $"vec_id", $"embedding", k = 10)
         .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
@@ -691,7 +725,7 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       // floor above only rules out a structurally broken query path
       assert(recalls.sum >= recalls.size * 5,
         s"aggregate recall too low: ${recalls.sum}/${recalls.size * 10}")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    }
   }
 
   test("IVF batch search: full probe exact, partial probe matches per-query") {
