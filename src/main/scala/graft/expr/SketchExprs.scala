@@ -142,6 +142,36 @@ case class ArgmaxCosine(child: Expression, centroids: Array[Array[Float]])
     copy(child = newChild)
 }
 
+/** minhash_band_keys(sig) -> array<bigint>: per-band LSH bucket keys over a
+  * minhash signature, bit-identical to the SQL formulation
+  * `array(xxhash64(lit(b), slice(sig, b*rows+1, rows)) for b < bands)` it
+  * replaces: Spark's XxHash64 chains its children left-to-right from seed
+  * 42 (int via XXH64.hashInt, array elements via XXH64.hashLong — both
+  * public statics reused here verbatim), so the fused loop reproduces the
+  * exact key values. The point is code size, not hashing speed: the
+  * 32-slice SQL array generated ~32 inlined xxhash64-over-slice hashers,
+  * which the first minhash query of every session paid as janino compile
+  * time. Requires a non-null LongType signature with containsNull=false
+  * ([[MinHashSig]]'s output contract).
+  */
+case class MinhashBandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(bands > 0 && rowsPerBand > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.minhashBandKeys(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"(org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"graft.expr.SketchKernels.minhashBandKeys($c, $bands, $rowsPerBand)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBandKeys =
+    copy(child = newChild)
+}
+
 /** langid_ngram(lowered_text) -> string: argmax over per-language
   * profile-gram occurrence totals — the fused kernel behind
   * [[graft.ops.TextAnalysis.langIdNgram]]. Value-identical to the
@@ -350,6 +380,21 @@ object SketchKernels {
     new GenericArrayData(out)
   }
 
+  def minhashBandKeys(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XXH64.hashInt(b, 42L)
+      var j = b * rows
+      val end = j + rows
+      while (j < end) { h = XXH64.hashLong(sig.getLong(j), h); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val Und = UTF8String.fromString("und")
 
   def langIdNgram(t: UTF8String, langs: Array[UTF8String],
@@ -442,4 +487,6 @@ object SketchExprs {
     Bridge.column(ArgmaxCosine(Bridge.expression(vec), centroids))
   def langIdNgram(loweredText: Column, profiles: Seq[(String, Seq[String])]): Column =
     Bridge.column(LangIdNgram(Bridge.expression(loweredText), profiles))
+  def minhashBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    Bridge.column(MinhashBandKeys(Bridge.expression(sig), bands, rowsPerBand))
 }

@@ -134,10 +134,13 @@ object Dedup {
     val withSh = in.where(text.isNotNull)
       .select(id.as("id"), shingles(text).as("sh"))
     val withSig = withSh.select(col("id"), minhashSig(col("sh"), numHashes).as("sig"))
-    // NB: the band-hash array must reference `sig` as a literal-indexed array
-    // of static slices (NOT transform/sequence with sig inside the lambda) —
-    // a lambda-bound formulation re-evaluates the minhash per band element
-    // after optimizer inlining (measured 176s vs 23s on sf0.1, 2026-08-16).
+    // Band keys are ONE fused kernel (MinhashBandKeys) producing the same
+    // xxhash64(band, sig-slice) values as the literal-indexed SQL array it
+    // replaces (parity-pinned in OpsSpec). History of this expression:
+    // a transform/sequence lambda with sig inside re-evaluated the minhash
+    // per band element (176s vs 23s, 2026-08-16); the literal 32-slice
+    // array fixed that but janino-compiled ~32 inlined hashers on every
+    // session's first minhash query.
     //
     // The signature copy riding the band fan-out exists ONLY for the
     // estimate prefilter, so it is truncated to 7 bits per component
@@ -151,8 +154,7 @@ object Dedup {
     // 2^-7 per component inflates the estimate by ~0.5 of 64 components.)
     val bandRows = withSig.select(col("id"),
       transform(col("sig"), h => h.bitwiseAND(lit(127L)).cast("tinyint")).as("sige"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
+      posexplode(minhashBandKeys(col("sig"), bands, rows))
         .as(Seq("band", "bh")))
     // ONE candidate shuffle: aggregate bucket members per (band, bucket),
     // deterministically capped, then expand i<j pairs intra-row
@@ -216,8 +218,7 @@ object Dedup {
     val withSig = df.select(id.as("id"), shingles(text).as("sh"))
       .select(col("id"), minhashSig(col("sh"), numHashes).as("sig"))
     withSig.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))): _*))
+      posexplode(minhashBandKeys(col("sig"), bands, rows))
         .as(Seq("band", "bh")))
       .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("n"))
       .where(col("n") >= minSize)

@@ -88,6 +88,24 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     out.foreach { case (expected, got) => assert(got == expected, s"snippet for $expected") }
   }
 
+  test("minhashBandKeys kernel matches the xxhash64-over-slice SQL formulation") {
+    // the r6 optimization fused the 32 xxhash64(lit(b), slice(sig, ...))
+    // columns into one kernel; band keys feed bucket membership (and the
+    // deterministic maxBucket cap), so they must be BIT-identical
+    import graft.expr.SketchExprs
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where($"text".isNotNull)
+    val (bands, rows) = (32, 2)
+    val withSig = docs.select(
+      SketchExprs.minhashSig(Dedup.shingles($"text"), 64).as("sig"))
+    val diff = withSig.select(
+        SketchExprs.minhashBandKeys($"sig", bands, rows).as("a"),
+        array((0 until bands).map(b =>
+          xxhash64(lit(b), slice($"sig", b * rows + 1, rows))): _*).as("b"))
+      .where(not($"a" <=> $"b")).count()
+    assert(diff == 0)
+  }
+
   test("langIdNgram kernel is value-identical to the replace()-count column formulation") {
     // the r6 optimization fused the per-gram replace()-count columns into
     // one kernel; this pins the kernel row-for-row against the original
