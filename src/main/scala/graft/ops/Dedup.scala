@@ -569,14 +569,18 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val neighbor = edges.join(labels.withColumnRenamed("id", "y"), Seq("y"))
-        .select(col("x").as("id"), col("label"))
-      // pointer doubling: v also adopts the label of its current label node
-      // (labels always point at graph nodes, so the self-join resolves);
-      // round 1 skips it — labels are identity, the hop adds nothing
+      // round 1 is join-free on BOTH contributions: labels are identity, so
+      // the neighbor lookup degenerates to the edge list itself
+      // ((x, label-of-y) = (x, y)) and the pointer-doubling hop
+      // (label-of-label) adds nothing; later rounds need both joins
       val contributions =
-        if (iter == 0) Seq(neighbor)
+        if (iter == 0) Seq(edges.select(col("x").as("id"), col("y").as("label")))
         else {
+          val neighbor = edges.join(labels.withColumnRenamed("id", "y"), Seq("y"))
+            .select(col("x").as("id"), col("label"))
+          // pointer doubling: v also adopts the label of its current label
+          // node (labels always point at graph nodes, so the self-join
+          // resolves)
           val hop = labels.as("l")
             .join(labels.select(col("id").as("label"), col("label").as("l2")), Seq("label"))
             .select(col("id"), col("l2").as("label"))
