@@ -39,7 +39,11 @@ object BenchExtra {
         println(f"EXTRA $name rep$i $s%.3fs rows=$n")
         s
       }
-      println(f"EXTRA $name min ${samples.min}%.3fs median ${samples.sorted.apply(reps / 2)}%.3fs")
+      val sorted = samples.sorted
+      val median =
+        if (reps % 2 == 1) sorted(reps / 2)
+        else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2
+      println(f"EXTRA $name min ${sorted.head}%.3fs median $median%.3fs")
     }
     spark.stop()
   }

@@ -435,7 +435,7 @@ object SketchKernels {
     // centroid, and struct-min resolved the all-null tie to cluster 0
     if (vec.numElements() != dims) return 0
     var bestJ = 0
-    var bestCos = java.lang.Double.NEGATIVE_INFINITY
+    var bestNeg = java.lang.Double.POSITIVE_INFINITY
     var j = 0
     while (j < centroids.length) {
       val c = centroids(j)
@@ -448,8 +448,14 @@ object SketchKernels {
         i += 1
       }
       val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
-      if (j == 0 || java.lang.Double.compare(cos, bestCos) > 0) {
-        bestCos = cos; bestJ = j
+      // track min NEGATED cosine with Double.compare — the literal
+      // struct-min field comparison, so the NaN edge matches the HOF form:
+      // a NaN cosine ranks LAST (Double.compare(NaN, x) > 0), it must
+      // never beat a finite one (an earlier cos-maximizing formulation
+      // selected NaN first and let one bad vector poison every assignment)
+      val neg = -cos
+      if (j == 0 || java.lang.Double.compare(neg, bestNeg) < 0) {
+        bestNeg = neg; bestJ = j
       }
       j += 1
     }

@@ -242,17 +242,21 @@ object Dedup {
     * combined aggregate + join back — NOT a count window over the shingle
     * partition, which would concentrate a hot shingle's every occurrence
     * in one task with no AQE skew splitting) -> per-doc rank window
-    * (shuffle by id) -> prefix members grouped per shingle and expanded
-    * i<j INTRA-ROW with the size + positional filters applied before the
-    * flatten (the [[expandPairs]] bucket shape, uncapped — exactness
-    * forbids a cap; this replaces a prefix-index SELF-JOIN that shuffled
-    * and recomputed the whole upstream pipeline once per side: measured
-    * 9.8s -> ~3.4s at sf0.1 together with the shingle bindOnce fix) ->
-    * one shingle fetch per surviving candidate side -> exact Jaccard
-    * verify.
+    * (shuffle by id) -> HYBRID candidate expansion routed by prefix-group
+    * size: groups of <= maxFlatGroup members are grouped per shingle and
+    * expanded i<j INTRA-ROW with the size + positional filters applied
+    * before the flatten (the [[expandPairs]] bucket shape — the common
+    * case, replacing a prefix-index SELF-JOIN that shuffled and
+    * recomputed the whole upstream pipeline once per side: measured
+    * 9.8s -> ~2s at sf0.1 together with the shingle bindOnce fix), while
+    * larger groups (mass-duplicated boilerplate) stream through the
+    * self-join so the quadratic pair set is never materialized in one
+    * array — exactness forbids a cap, and both routes apply identical
+    * filters -> one shingle fetch per surviving candidate side -> exact
+    * Jaccard verify.
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
-      threshold: Double = 0.8, n: Int = 3): DataFrame = {
+      threshold: Double = 0.8, n: Int = 3, maxFlatGroup: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // null text excluded — see minhashPairs
     val withSh = df.where(text.isNotNull).select(id.as("id"), shingles(text, n).as("sh"))
@@ -288,19 +292,44 @@ object Dedup {
     // candidates never materialize.
     val reqOverlap: (Column, Column) => Column = (la, lb) =>
       ceil(lit(threshold / (1 + threshold)) * (la + lb) - lit(1e-9))
-    val candidates = prefix
+    val sizeAndPosFilter: (Column, Column, Column, Column) => Column =
+      (la, ra, lb, rb) =>
+        lb >= lit(threshold) * la - lit(1e-9) &&
+          lit(threshold) * lb <= la + lit(1e-9) &&
+          lit(1) + least(la - ra, lb - rb) >= reqOverlap(la, lb)
+    // HYBRID expansion routed by prefix-group size (a map-side-combined
+    // count — huge groups are never collected into one row): groups up to
+    // `maxFlatGroup` members expand i<j INTRA-ROW (filters applied before
+    // the flatten, so pruned candidates never materialize — the common
+    // case, and what replaced the old always-self-join: measured 9.8s ->
+    // ~2s at sf0.1 with the bindOnce fix); LARGER groups — mass-duplicated
+    // boilerplate, where every copy shares every prefix shingle — stream
+    // through the self-join instead, because a flatten materializes the
+    // group's FULL quadratic candidate set in one array (70k copies of one
+    // doc = 2.4e9 structs in a single row, over the JVM array limit; the
+    // join emits the same pairs as spillable streamed rows). Both routes
+    // apply identical filters; exactness is route-independent.
+    val psize = prefix.groupBy(col("shingle")).agg(count(lit(1)).as("gn"))
+    val routed = prefix.join(psize.where(col("gn") > 1), Seq("shingle"))
+    val smallPairs = routed.where(col("gn") <= maxFlatGroup)
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(struct(col("id"), col("len"), col("rn")))).as("ms"))
-      .where(size(col("ms")) > 1)
       .select(expandPairs(col("ms"), (x, y) =>
         struct(x.getField("id").as("a"), y.getField("id").as("b"),
-          (y.getField("len") >= lit(threshold) * x.getField("len") - lit(1e-9) &&
-            lit(threshold) * y.getField("len") <= x.getField("len") + lit(1e-9) &&
-            lit(1) + least(x.getField("len") - x.getField("rn"),
-              y.getField("len") - y.getField("rn")) >=
-              reqOverlap(x.getField("len"), y.getField("len"))).as("keep")),
+          sizeAndPosFilter(x.getField("len"), x.getField("rn"),
+            y.getField("len"), y.getField("rn")).as("keep")),
         p => p.getField("keep")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+    val big = routed.where(col("gn") > maxFlatGroup)
+      .select(col("shingle"), col("id"), col("len"), col("rn"))
+    val bigPairs = big
+      .join(big.select(col("shingle"), col("id").as("b"),
+          col("len").as("lenb"), col("rn").as("rnb")),
+        Seq("shingle"))
+      .where(col("id") < col("b"))
+      .where(sizeAndPosFilter(col("len"), col("rn"), col("lenb"), col("rnb")))
+      .select(col("id").as("a"), col("b"))
+    val candidates = smallPairs.unionByName(bigPairs)
       .where(col("a") =!= col("b")) // duplicate-id inputs expand to self-pairs
       .groupBy(col("a"), col("b")).agg(lit(1))
       .select(struct(col("a"), col("b")).as("p"))

@@ -150,15 +150,19 @@ object Ivf {
     * directories at the scan — a probe of nProbe/k clusters reads ~nProbe/k
     * of the index bytes (asserted via scan numFiles in IvfSpec).
     *
-    * The rows are hash-repartitioned on `cluster` before the write
-    * (guide §6, small files): without it every upstream task writes a
-    * sliver into every cluster directory — up to tasks × k files of a few
-    * KB each, paid again at every probe as per-file open cost. AQE
-    * coalescing sizes the shuffle output, so big clusters still split
-    * across several files at real scale rather than one giant file.
+    * The rows are REBALANCED on `cluster` before the write (guide §6,
+    * small files): without it every upstream task writes a sliver into
+    * every cluster directory — up to tasks × k files of a few KB each,
+    * paid again at every probe as per-file open cost. A rebalance hint,
+    * NOT `repartition(col)`: a plain hash repartition funnels each cluster
+    * into exactly one task (AQE never splits a repartition-by-column
+    * partition — skew splitting applies to rebalance origins only), so a
+    * hot cluster would serialize the write into one giant task/file;
+    * AQE both merges sliver partitions and splits oversized ones under
+    * the rebalance origin.
     */
   def writeIndex(index: DataFrame, dir: String): Unit =
-    index.repartition(col("cluster"))
+    index.hint("rebalance", col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(dir)
 
   /** Read a partitioned index written by [[writeIndex]]. */

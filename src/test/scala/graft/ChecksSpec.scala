@@ -106,9 +106,20 @@ class ChecksSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val st = Uniqueness.dupStats(data, col("k")).collect().head
     assert(st.getAs[Long]("n_dup_keys") == 11)
     assert(st.getAs[Long]("n_surplus_rows") == (100000 - 1) + 10)
-    // the salt phase bounds final-exchange rows per key by #input partitions
-    val partial = data.groupBy(col("k"), spark_partition_id()).count()
-    assert(partial.where(col("k") === "HOT").count() <= 18)
+    // the skew ceiling now rests on Catalyst's PARTIAL hash aggregate (the
+    // explicit groupBy(key, partition_id) salt stage was removed in r6 as a
+    // redundant second exchange), so pin the guarantee ON dupKeys' OWN
+    // executed plan: a partial_count must sit below the exchange — at most
+    // one hot-key row per input partition enters the shuffle
+    val executed = Uniqueness.dupKeys(data, col("k"))
+    executed.collect()
+    val nodes = org.apache.spark.sql.graftbridge.Bridge.finalPlanNodes(executed)
+    val partialAggs = nodes.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if h.toString.contains("partial_count") => h
+    }
+    assert(partialAggs.nonEmpty,
+      s"dupKeys lost its map-side partial aggregation:\n${nodes.mkString("\n")}")
   }
 
   test("dupStats on all-unique keys returns zeros (not an empty frame)") {

@@ -120,6 +120,27 @@ class IvfSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val m2 = Ivf.Model.axis(8, 64)
     assert(emb.where(
       Ivf.clusterOf($"embedding", m2) =!= hofClusterOf($"embedding", m2)).count() == 0)
+    // NaN edges: a NaN vector (every cosine NaN) and a NaN CENTROID (one
+    // cosine NaN per row) must rank exactly like the struct-min form —
+    // NaN negcos last, all-NaN tie to cluster 0 (review finding: a
+    // cos-maximizing comparison selected NaN FIRST)
+    val nanVec = Seq((0L, Seq.fill(16)(Float.NaN)),
+      (1L, Array.tabulate(16)(d => if (d == 7) Float.NaN else 1f).toSeq),
+      (2L, Array.tabulate(16)(_.toFloat).toSeq)).toDF("vec_id", "embedding")
+    val m3 = Ivf.Model.axis(4, 16)
+    assert(nanVec.where(not(
+      Ivf.clusterOf($"embedding", m3) <=> hofClusterOf($"embedding", m3))).count() == 0)
+    val nanCentroid = Ivf.Model(Array(
+      Array.tabulate(16)(d => if (d == 3) Float.NaN else 0.5f),
+      Array.tabulate(16)(_ => 1f),
+      Array.tabulate(16)(d => if (d < 8) 1f else -1f)))
+    assert(nanVec.where(not(
+      Ivf.clusterOf($"embedding", nanCentroid) <=>
+        hofClusterOf($"embedding", nanCentroid))).count() == 0)
+    // and the specific poison case: a finite row must NOT land on the NaN
+    // centroid (cluster 0 here)
+    assert(nanVec.where($"vec_id" === 2L)
+      .select(Ivf.clusterOf($"embedding", nanCentroid)).head().getInt(0) != 0)
   }
 
   test("ivf: a partitioned index prunes non-probed clusters at the scan") {

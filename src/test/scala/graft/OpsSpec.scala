@@ -413,6 +413,28 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(expected.subsetOf(pairs))
   }
 
+  test("ngramJaccardPairs hybrid routes agree; mass-dup groups stream via the join") {
+    // the r6 hybrid sends prefix-groups over maxFlatGroup through the
+    // streamed self-join instead of the intra-row flatten (a group's full
+    // quadratic candidate set must never materialize in one array);
+    // exactness must be route-independent
+    val sample = docs.where($"text".isNotNull && $"doc_id" < 200)
+    def pairsOf(mfg: Int) = Dedup.ngramJaccardPairs(sample, $"doc_id", $"text",
+        threshold = 0.7, maxFlatGroup = mfg)
+      .select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaFlatten = pairsOf(1000000)
+    val viaJoin = pairsOf(1) // every group of >= 2 takes the join route
+    assert(viaFlatten == viaJoin)
+    assert(viaFlatten.nonEmpty) // the comparison must actually exercise pairs
+    // mass-duplicate farm: 300 identical docs -> every prefix group has 300
+    // members (> default 256), so the join route carries them; all pairs
+    // must still surface
+    val farm = spark.range(300).select($"id",
+      lit("alpha beta gamma delta epsilon zeta eta theta iota kappa").as("t"))
+    val n = Dedup.ngramJaccardPairs(farm, $"id", $"t").count()
+    assert(n == 300L * 299 / 2)
+  }
+
   test("ngram jaccard baseline agrees with minhash on the same corpus") {
     val mutated = docs.where($"doc_id" % 20 === 0)
       .select(($"doc_id" + 1000000).as("doc_id"), concat($"text", lit(" zz")).as("text"))
