@@ -381,21 +381,41 @@ object Dedup {
     // hamming-0 pairs inside each group come for free from the collapse.
     val sigGroups = withSig.groupBy(col("sig"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-    val zeroPairs = sigGroups.where(size(col("ids")) > 1)
+    // hamming-0 pairs, HYBRID-routed like ngramJaccardPairs' expansion:
+    // the pair list inside a true duplicate group is quadratic BY CONTRACT,
+    // but it must stream, never materialize as one array — expandPairs'
+    // flatten on a 70k-copy boilerplate group would allocate C(70k,2)
+    // structs in a single row (over the JVM array limit). Small groups
+    // keep the intra-row expansion; larger ones self-join their exploded
+    // members on the signature (spillable streamed rows, same pairs).
+    val zeroSmall = sigGroups
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(expandPairs(col("ids"), (a, b) =>
         struct(a.as("a"), b.as("b"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"), lit(0).as("hamming"))
+    val zeroBigM = sigGroups.where(size(col("ids")) > maxBucket)
+      .select(col("sig"), explode(col("ids")).as("m"))
+    val zeroBig = zeroBigM
+      .join(zeroBigM.select(col("sig"), col("m").as("mb")), Seq("sig"))
+      .where(col("m") < col("mb"))
+      .select(col("m").as("a"), col("mb").as("b"), lit(0).as("hamming"))
+    val zeroPairs = zeroSmall.unionByName(zeroBig)
       .where(col("a") =!= col("b")) // duplicate-id inputs expand to self-pairs
     // cross-signature candidates over DISTINCT sigs only, capped buckets
     val sigPairs = simhashSigPairs(sigGroups.select(col("sig")),
       maxHamming, cleanBlocks, maxBucket)
+    // id-product expansion via CHAINED explodes — Generate streams one
+    // element at a time, where the previous flatten(transform x transform)
+    // materialized the whole |idsa| x |idsb| product as one array per
+    // matched signature pair (two mass-dup groups within hamming range
+    // would allocate their full cross product in a single row)
     val crossPairs = sigPairs
       .join(sigGroups.select(col("sig").as("siga"), col("ids").as("idsa")), Seq("siga"))
       .join(sigGroups.select(col("sig").as("sigb"), col("ids").as("idsb")), Seq("sigb"))
-      .select(col("hamming"), explode(flatten(
-        transform(col("idsa"), a => transform(col("idsb"), b =>
-          struct(least(a, b).as("a"), greatest(a, b).as("b")))))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"), col("hamming"))
+      .select(col("hamming"), explode(col("idsa")).as("ia"), col("idsb"))
+      .select(col("hamming"), col("ia"), explode(col("idsb")).as("ib"))
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("hamming"))
       // a duplicated id under two DIFFERENT texts lands in both sig groups
       .where(col("a") =!= col("b"))
     zeroPairs.unionByName(crossPairs)

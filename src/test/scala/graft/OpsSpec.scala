@@ -435,6 +435,39 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(n == 300L * 299 / 2)
   }
 
+  test("simhash hamming-0 routes agree; an over-maxBucket dup farm streams via the join") {
+    // same hybrid contract as the ngram expansion: identical results on
+    // both routes, and a duplicate group larger than maxBucket must go
+    // through the streamed self-join (never one intra-row flatten)
+    val farm = spark.range(600).select($"id",
+      lit("alpha beta gamma delta epsilon zeta eta theta").as("t"))
+      .unionByName(spark.range(600, 610).select($"id",
+        concat(lit("unique text number "), $"id", lit(" with words")).as("t")))
+    val pairs = Dedup.simhashPairs(farm, $"id", $"t")
+      .where($"hamming" === 0)
+      .select($"a", $"b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 600-copy group's pair list must be complete (the near-identical
+    // "unique" tail may add its own hamming-0 pairs — short texts can
+    // share a simhash after a one-token edit — so assert the farm subset)
+    val farmPairs = pairs.filter { case (a, b) => a < 600 && b < 600 }
+    assert(farmPairs.size == 600 * 599 / 2) // full quadratic list, streamed
+    assert(farmPairs.forall { case (a, b) => a < b })
+    // hamming-0 route parity on a mixed corpus: maxBucket=1 forces every
+    // dup group through the join route (hamming-0 only — maxBucket also
+    // caps the cross-signature buckets, which is a different, documented
+    // recall trade)
+    val mixed = spark.range(40).select($"id",
+      concat(lit("shared boilerplate text block"),
+        when($"id" % 4 === 0, lit("")).otherwise(concat(lit(" v"), $"id"))).as("t"))
+    def zeroRoute(mb: Int) = Dedup.simhashPairs(mixed, $"id", $"t", maxBucket = mb)
+      .where($"hamming" === 0)
+      .select($"a", $"b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaFlat = zeroRoute(1000)
+    assert(viaFlat == zeroRoute(1))
+    assert(viaFlat.nonEmpty)
+  }
+
   test("ngram jaccard baseline agrees with minhash on the same corpus") {
     val mutated = docs.where($"doc_id" % 20 === 0)
       .select(($"doc_id" + 1000000).as("doc_id"), concat($"text", lit(" zz")).as("text"))
