@@ -360,7 +360,10 @@ object Dedup {
     * candidate join, and residual distinct-sig buckets are capped at
     * `maxBucket` ([[simhashSigPairs]]). The emitted PAIR LIST is still
     * quadratic inside a true duplicate group — that is the contract;
-    * feed [[dupClusters]] when clusters, not pairs, are the goal.
+    * feed [[dupClusters]] when clusters, not pairs, are the goal. The
+    * quadratic list STREAMS (r6): over-`maxBucket` groups pair via a
+    * self-join and cross products via chained explodes, never as one
+    * materialized array per row.
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3, cleanBlocks: Int = 2, maxBucket: Int = 256,
